@@ -1,0 +1,99 @@
+"""Fast 3-D resampling at arbitrary coordinates — the generator/inference workhorse.
+
+Semantics parity with `fast_3D_interp_torch`
+(/root/reference/Generator/utils.py:119-196): trilinear with masked
+out-of-bounds default (note the reference's strict `> 0` lower bound), and
+nearest with clamped rounding. Re-designed for XLA: a single flattened-index
+gather (8 corners fused) instead of boolean-mask compaction, so shapes stay
+static under jit.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _flat_gather(vol_flat, d, h, w, H, W):
+    idx = (d * H + h) * W + w
+    return jnp.take(vol_flat, idx, axis=0)
+
+
+def trilinear3d(vol, ii, jj, kk, default=0.0):
+    """Trilinear sample of `vol` (D,H,W) or (D,H,W,C) at float coords.
+
+    Out-of-bounds (ii<=0 or ii>D-1, etc. — reference convention
+    Generator/utils.py:141) yields `default`.
+    Returns shape coords.shape (+ (C,) if vol has channels).
+    """
+    squeeze = vol.ndim == 3
+    if squeeze:
+        vol = vol[..., None]
+    D, H, W, C = vol.shape
+    vol_flat = vol.reshape(D * H * W, C)
+
+    ok = (ii > 0) & (jj > 0) & (kk > 0) & (ii <= D - 1) & (jj <= H - 1) & (kk <= W - 1)
+
+    iic = jnp.clip(ii, 0.0, D - 1)
+    jjc = jnp.clip(jj, 0.0, H - 1)
+    kkc = jnp.clip(kk, 0.0, W - 1)
+
+    fx = jnp.floor(iic).astype(jnp.int32)
+    fy = jnp.floor(jjc).astype(jnp.int32)
+    fz = jnp.floor(kkc).astype(jnp.int32)
+    cx = jnp.minimum(fx + 1, D - 1)
+    cy = jnp.minimum(fy + 1, H - 1)
+    cz = jnp.minimum(fz + 1, W - 1)
+
+    wcx = (iic - fx)[..., None]
+    wcy = (jjc - fy)[..., None]
+    wcz = (kkc - fz)[..., None]
+    wfx, wfy, wfz = 1.0 - wcx, 1.0 - wcy, 1.0 - wcz
+
+    c000 = _flat_gather(vol_flat, fx, fy, fz, H, W)
+    c100 = _flat_gather(vol_flat, cx, fy, fz, H, W)
+    c010 = _flat_gather(vol_flat, fx, cy, fz, H, W)
+    c110 = _flat_gather(vol_flat, cx, cy, fz, H, W)
+    c001 = _flat_gather(vol_flat, fx, fy, cz, H, W)
+    c101 = _flat_gather(vol_flat, cx, fy, cz, H, W)
+    c011 = _flat_gather(vol_flat, fx, cy, cz, H, W)
+    c111 = _flat_gather(vol_flat, cx, cy, cz, H, W)
+
+    c00 = c000 * wfx + c100 * wcx
+    c01 = c001 * wfx + c101 * wcx
+    c10 = c010 * wfx + c110 * wcx
+    c11 = c011 * wfx + c111 * wcx
+    c0 = c00 * wfy + c10 * wcy
+    c1 = c01 * wfy + c11 * wcy
+    out = c0 * wfz + c1 * wcz
+
+    out = jnp.where(ok[..., None], out, default)
+    if squeeze:
+        out = out[..., 0]
+    return out
+
+
+def nearest3d(vol, ii, jj, kk):
+    """Nearest-neighbour sample with clamped rounding
+    (parity: Generator/utils.py:124-138)."""
+    squeeze = vol.ndim == 3
+    if squeeze:
+        vol = vol[..., None]
+    D, H, W, C = vol.shape
+    vol_flat = vol.reshape(D * H * W, C)
+    ir = jnp.clip(jnp.round(ii).astype(jnp.int32), 0, D - 1)
+    jr = jnp.clip(jnp.round(jj).astype(jnp.int32), 0, H - 1)
+    kr = jnp.clip(jnp.round(kk).astype(jnp.int32), 0, W - 1)
+    out = _flat_gather(vol_flat, ir, jr, kr, H, W)
+    if squeeze:
+        out = out[..., 0]
+    return out
+
+
+def interp3d(vol, ii, jj, kk, mode: str = "linear", default=0.0):
+    """Dispatch mirroring fast_3D_interp_torch's `mode` argument."""
+    if mode == "linear":
+        return trilinear3d(vol, ii, jj, kk, default)
+    if mode == "nearest":
+        return nearest3d(vol, ii, jj, kk)
+    raise ValueError("mode must be linear or nearest")

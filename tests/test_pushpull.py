@@ -1,0 +1,127 @@
+"""Golden tests: grid_pull/push/count/grad vs the reference interpol package
+(imported from /root/reference as a torch oracle), over orders x bounds x
+dims — the coverage of the reference's own gradcheck suite
+(utils/interpol/tests/test_gradcheck_pushpull.py:20-36)."""
+
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/reference")
+import torch  # noqa: E402
+from utils import interpol as ref_interpol  # noqa: E402
+
+import jax.numpy as jnp  # noqa: E402
+
+from brainfm_tpu.ops import grid_count, grid_grad, grid_pull, grid_push  # noqa: E402
+
+BOUNDS = ["zero", "replicate", "dct1", "dct2", "dst1", "dst2", "dft"]
+ORDERS = [0, 1, 2, 3]
+
+
+def make_case(rng, dim, shape=5, nvox=7):
+    inp = rng.standard_normal([shape] * dim).astype(np.float64)
+    grid = (rng.random([nvox, dim]) * (shape + 4) - 2).astype(np.float64)
+    return inp, grid
+
+
+def ref_pull(inp, grid, order, bound, extrapolate=True):
+    ti = torch.tensor(inp)[None, None]
+    tg = torch.tensor(grid)[None]
+    out = ref_interpol.grid_pull(ti, tg, interpolation=order, bound=bound,
+                                 extrapolate=extrapolate)
+    return out.numpy()[0, 0]
+
+
+@pytest.mark.parametrize("bound", BOUNDS)
+@pytest.mark.parametrize("order", ORDERS)
+def test_pull_matches_reference_3d(rng, order, bound):
+    inp, grid = make_case(rng, 3)
+    ref = ref_pull(inp, grid, order, bound)
+    got = np.asarray(grid_pull(jnp.asarray(inp), jnp.asarray(grid),
+                               interpolation=order, bound=bound))
+    np.testing.assert_allclose(np.ravel(got), np.ravel(ref), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("dim", [1, 2, 3])
+def test_pull_dims(rng, dim):
+    inp, grid = make_case(rng, dim)
+    ref = ref_pull(inp, grid, 3, "dct2")
+    got = np.asarray(grid_pull(jnp.asarray(inp), jnp.asarray(grid),
+                               interpolation=3, bound="dct2"))
+    np.testing.assert_allclose(np.ravel(got), np.ravel(ref), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("bound", ["zero", "dct2", "dft"])
+@pytest.mark.parametrize("order", [1, 3])
+def test_push_matches_reference(rng, order, bound):
+    dim = 3
+    _, grid = make_case(rng, dim)
+    vals = rng.standard_normal(grid.shape[:-1]).astype(np.float64)
+    ti = torch.tensor(vals)[None, None]
+    tg = torch.tensor(grid)[None]
+    ref = ref_interpol.grid_push(ti, tg, shape=[5] * dim, interpolation=order,
+                                 bound=bound, extrapolate=True).numpy()
+    got = np.asarray(grid_push(jnp.asarray(vals), jnp.asarray(grid), shape=[5] * dim,
+                               interpolation=order, bound=bound,
+                               extrapolate=True))
+    ref_ne = ref_interpol.grid_push(ti, tg, shape=[5] * dim, interpolation=order,
+                                    bound=bound, extrapolate=False).numpy()
+    got_ne = np.asarray(grid_push(jnp.asarray(vals), jnp.asarray(grid),
+                                  shape=[5] * dim, interpolation=order,
+                                  bound=bound, extrapolate=False))
+    np.testing.assert_allclose(np.ravel(got_ne), np.ravel(ref_ne), rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.ravel(got), np.ravel(ref), rtol=1e-5, atol=1e-6)
+
+
+def test_count_matches_reference(rng):
+    _, grid = make_case(rng, 3)
+    tg = torch.tensor(grid)[None]
+    ref = ref_interpol.grid_count(tg, shape=[5] * 3, interpolation=1,
+                                  bound="dct2", extrapolate=True).numpy()
+    got = np.asarray(grid_count(jnp.asarray(grid), shape=[5] * 3,
+                                interpolation=1, bound="dct2"))
+    np.testing.assert_allclose(np.ravel(got), np.ravel(ref), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("bound", ["zero", "dct2"])
+@pytest.mark.parametrize("order", [1, 2, 3])
+def test_grad_matches_reference(rng, order, bound):
+    inp, grid = make_case(rng, 3)
+    ti = torch.tensor(inp)[None, None]
+    tg = torch.tensor(grid)[None]
+    ref = ref_interpol.grid_grad(ti, tg, interpolation=order,
+                                 bound=bound, extrapolate=True).numpy()
+    got = np.asarray(grid_grad(jnp.asarray(inp), jnp.asarray(grid),
+                               interpolation=order, bound=bound))
+    np.testing.assert_allclose(np.ravel(got), np.ravel(ref), rtol=1e-5, atol=1e-6)
+
+
+def test_pull_push_adjoint(rng):
+    """<pull(x), u> == <x, push(u)> — the adjointness the reference encodes in
+    its autograd pairing (utils/interpol/autograd.py:125-185)."""
+    inp, grid = make_case(rng, 3)
+    u = rng.standard_normal(grid.shape[:-1])
+    pulled = np.asarray(grid_pull(jnp.asarray(inp), jnp.asarray(grid),
+                                  interpolation=3, bound="dct2"))
+    pushed = np.asarray(grid_push(jnp.asarray(u), jnp.asarray(grid), shape=inp.shape,
+                                  interpolation=3, bound="dct2"))
+    np.testing.assert_allclose((pulled * u).sum(), (inp * pushed).sum(), rtol=1e-6)
+
+
+def test_pull_autodiff_is_push(rng):
+    import jax
+
+    inp, grid = make_case(rng, 3)
+    u = rng.standard_normal(grid.shape[:-1])
+
+    def f(x):
+        return jnp.sum(grid_pull(x, jnp.asarray(grid), interpolation=1,
+                                 bound="dct2") * jnp.asarray(u))
+
+    g = np.asarray(jax.grad(f)(jnp.asarray(inp)))
+    pushed = np.asarray(grid_push(jnp.asarray(u), jnp.asarray(grid), shape=inp.shape,
+                                  interpolation=1, bound="dct2"))
+    np.testing.assert_allclose(g, pushed, rtol=1e-5, atol=1e-6)
