@@ -1,0 +1,131 @@
+"""Intensity augmentation chain: gamma, bias field, resolution resampling,
+noise — and the restore-to-grid step.
+
+Parity with /root/reference/Generator/utils.py:568-638 (augmentation funcs)
+and Generator/datasets.py:306-354 (`augment_sample` chain + b-spline/zoom
+restore + normalization). Jit design: the reference's dynamic intermediate
+shapes (resample new_size, bias-field small size) become static maximal
+buffers with traced effective sizes (see synth/deform.py
+`zoom_from_effective`); runtime-varying strengths (the mild/severe/real/
+synth `update_gen_args` swap, datasets.py:634-636) enter as the traced
+`knobs` pytree instead of config mutation.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.blur import gaussian_blur_3d
+from .deform import small_field_buffer_shape, zoom_from_effective
+
+MAX_BLUR_SIGMA = 4.0  # static cap: max thickness 6mm -> sigma ~3.5 (utils.py:592)
+
+
+def gamma_transform(key, img, gamma_std):
+    """(parity: Generator/utils.py:568-572). gamma_std may be traced."""
+    gamma = jnp.exp(gamma_std * jax.random.normal(key))
+    return 300.0 * (img / 300.0) ** gamma
+
+
+def sample_bias_field(key, cfg, setup, knobs):
+    """Low-res log-field -> full-size BFlog (parity: utils.py:574-589).
+    bf_scale/std ranges come from the traced `knobs` (mild/severe swap)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    bf_scale = knobs["bf_scale_min"] + jax.random.uniform(k1) * (
+        knobs["bf_scale_max"] - knobs["bf_scale_min"])
+    size = jnp.asarray(cfg.size, jnp.float32)
+    eff = jnp.round(bf_scale * size)
+    eff = eff.at[1].set(jnp.where(setup["photo_mode"] > 0,
+                                  jnp.round(size[1] / setup["spac"]), eff[1]))
+    eff = jnp.maximum(eff, 2.0)
+    frac1 = (1.0 / 2.5 if (cfg.photo_prob > 0 or cfg.left_hemis_only)
+             else cfg.bf_scale_max)
+    frac1 = max(cfg.bf_scale_max, frac1)
+    buf = (int(math.ceil(cfg.bf_scale_max * cfg.size[0])) + 1,
+           int(math.ceil(frac1 * cfg.size[1])) + 1,
+           int(math.ceil(cfg.bf_scale_max * cfg.size[2])) + 1)
+    std = knobs["bf_std_min"] + (knobs["bf_std_max"]
+                                 - knobs["bf_std_min"]) * jax.random.uniform(k2)
+    small = std * jax.random.normal(k3, buf)
+    return zoom_from_effective(small, eff, cfg.size)
+
+
+def resample_resolution(key, img, cfg, setup):
+    """Slice-thickness blur + downsample to acquisition resolution
+    (parity: utils.py:591-609). Returns (low-res padded buffer,
+    effective new_size(3,))."""
+    res_td = jnp.asarray(cfg.res_training_data, jnp.float32)
+    rnd = 0.85 + 0.3 * jax.random.uniform(key)
+    stds = rnd * jnp.log(5.0) / jnp.pi * setup["thickness"] / res_td
+    stds = jnp.where(setup["thickness"] <= res_td, 0.0, stds)
+    blurred = gaussian_blur_3d(img, stds, max_sigma=MAX_BLUR_SIGMA)
+
+    size = jnp.asarray(cfg.size, jnp.float32)
+    new_size = jnp.floor(size * res_td / setup["resolution"])  # .astype(int) parity
+    new_size = jnp.maximum(new_size, 1.0)
+    factors = new_size / size
+    delta = (1.0 - factors) / (2.0 * factors)
+    coords = []
+    for d, out in enumerate(cfg.size):
+        v = delta[d] + jnp.arange(out) / factors[d]
+        coords.append(v)
+    ii, jj, kk = jnp.meshgrid(*coords, indexing="ij")
+    # fast_3D_interp semantics: strictly-positive lower bound masks to 0
+    from ..ops.interp import trilinear3d
+
+    small = trilinear3d(blurred, ii, jj, kk)
+    return small, new_size
+
+
+def add_noise(key, img, noise_std_min, noise_std_max):
+    """(parity: utils.py:633-638). stds are traced knobs."""
+    k1, k2 = jax.random.split(key)
+    std = noise_std_min + (noise_std_max - noise_std_min) * jax.random.uniform(k1)
+    noisy = img + std * jax.random.normal(k2, img.shape)
+    return jnp.maximum(noisy, 0.0)
+
+
+def restore_resolution(small, new_size, cfg):
+    """Back to the training grid (parity: datasets.py:337-340, myzoom path;
+    myzoom_torch(X, 1/factors) == zoom from effective new_size to size)."""
+    return zoom_from_effective(small, new_size, cfg.size)
+
+
+def augment_chain(key, img, cfg, setup, knobs, steps=("gamma", "bias_field",
+                                                      "resample", "noise"),
+                  is_ct=False):
+    """Run the configured augmentation steps
+    (parity: datasets.py:328-340 loop over `augmentation_steps`).
+
+    knobs: traced dict {gamma_std, bf_scale_min, bf_scale_max, bf_std_min,
+    bf_std_max, noise_std_min, noise_std_max} — the runtime
+    mild/severe/real/synth parameter swap.
+    Returns (restored_img, aux dict with 'BFlog','high_res','factors')."""
+    keys = jax.random.split(key, 4)
+    aux = {}
+    x = img
+    new_size = jnp.asarray(cfg.size, jnp.float32)
+    for step in steps:
+        if step == "gamma":
+            x = gamma_transform(keys[0], x, knobs["gamma_std"])
+        elif step == "bias_field":
+            if is_ct:
+                aux["high_res"] = x  # (parity: utils.py:575-577)
+            else:
+                bflog = sample_bias_field(keys[1], cfg, setup, knobs)
+                x = x * jnp.exp(bflog)
+                aux["BFlog"] = bflog
+                aux["high_res"] = x
+        elif step == "resample":
+            x, new_size = resample_resolution(keys[2], x, cfg, setup)
+        elif step == "noise":
+            x = add_noise(keys[3], x, knobs["noise_std_min"],
+                          knobs["noise_std_max"])
+        else:
+            raise ValueError(step)
+    restored = restore_resolution(x, new_size, cfg)
+    aux["factors"] = new_size / jnp.asarray(cfg.size, jnp.float32)
+    return restored, aux

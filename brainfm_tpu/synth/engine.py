@@ -1,0 +1,435 @@
+"""The synthesis engine: one jitted function per training item.
+
+Re-expresses the reference's Dataset `__getitem__` pipelines
+(/root/reference/Generator/datasets.py:638-681 `BaseGen`, :700-757
+`BrainIDGen`) as pure functions: `synth_item(key, subject, ...)` produces
+the (target, samples) pair for one subject with `all_samples` intra-subject
+augmentations, entirely on device. Subjects are fixed-shape resident
+arrays (SubjectBank) — no dynamic crops, no host round-trips.
+
+Array conventions: subject volumes live in the subject frame (padded to the
+bank shape, true extent in subject['shape']); targets/samples are generated
+at cfg.size, channels-last.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.interp import nearest3d, trilinear3d
+from .augment import augment_chain
+from .constants import (LABELS_EXTRACEREBRAL, LABELS_LEFT, build_lut,
+                        build_vflip)
+from .deform import deform_grid, random_affine, random_nonlinear_field
+from .gmm import sample_contrast_lut, synth_intensities
+from .params import SynthStatic, sample_setup
+from .pathology import (augment_pathology, binarize, encode_pathology,
+                        random_shape)
+
+
+def _flip0(x, flip):
+    """Traced sagittal flip of a (D,H,W[,C]) volume (axis 0)."""
+    return jnp.where(flip > 0, jnp.flip(x, axis=0), x)
+
+
+def _deform(vol, grid, mode="linear", default=0.0):
+    xx2, yy2, zz2 = grid
+    if mode == "nearest":
+        return nearest3d(vol, xx2, yy2, zz2)
+    return trilinear3d(vol, xx2, yy2, zz2, default)
+
+
+def _target_image(vol, grid, flip, hemis_mask=None):
+    """(parity: read_and_deform_image, Generator/utils.py:324-343)"""
+    v = jnp.nan_to_num(vol)
+    if hemis_mask is not None:
+        v = jnp.where(hemis_mask == 0, 0.0, v)
+    idef = _deform(v, grid)
+    idef = idef - jnp.min(idef)
+    idef = idef / jnp.maximum(jnp.max(idef), 1e-12)
+    return _flip0(idef, flip)[..., None]
+
+
+def _target_ct(vol, grid, flip, hemis_mask=None):
+    """(parity: read_and_deform_CT, utils.py:345-364 — scale 1/1000)"""
+    v = jnp.nan_to_num(vol) / 1000.0
+    if hemis_mask is not None:
+        v = jnp.where(hemis_mask == 0, 0.0, v)
+    return _flip0(_deform(v, grid), flip)[..., None]
+
+
+def _target_distance(dist, grid, flip, sfd, cfg, left_only):
+    """(parity: read_and_deform_distance, utils.py:366-392): per-channel
+    deform with default=max, mean 128 / scale 20, /= sfd, clamp."""
+    chans = []
+    n = 2 if left_only else 4
+    for c in range(n):
+        v = (jnp.nan_to_num(dist[..., c]) - 128.0) / 20.0
+        chans.append(_deform(v, grid, default=jnp.max(v)))
+    if not left_only:
+        lp, lw, rp, rw = chans
+        lp2 = jnp.where(flip > 0, jnp.flip(rp, 0), lp)
+        rp2 = jnp.where(flip > 0, jnp.flip(lp, 0), rp)
+        lw2 = jnp.where(flip > 0, jnp.flip(rw, 0), lw)
+        rw2 = jnp.where(flip > 0, jnp.flip(lw, 0), rw)
+        out = jnp.stack([lp2, lw2, rp2, rw2], axis=-1)
+    else:
+        out = jnp.stack(chans, axis=-1)
+    out = out / sfd
+    return jnp.clip(out, -cfg.max_surf_distance, cfg.max_surf_distance)
+
+
+def _target_segmentation(seg, grid, flip, lut, vflip, hemis_mask=None,
+                         deform_one_hots=False):
+    """(parity: read_and_deform_segmentation, utils.py:394-424)"""
+    s = seg.astype(jnp.int32)
+    if hemis_mask is not None:
+        s = jnp.where(hemis_mask == 0, 0, s)
+    if deform_one_hots:
+        onehot = jax.nn.one_hot(lut[jnp.clip(s, 0, lut.shape[0] - 1)],
+                                int(vflip.shape[0]), dtype=jnp.float32)
+        sd = _deform(onehot, grid)
+    else:
+        sdef = _deform(s, grid, mode="nearest")
+        sd = jax.nn.one_hot(lut[jnp.clip(sdef, 0, lut.shape[0] - 1)],
+                            int(vflip.shape[0]), dtype=jnp.float32)
+    flipped = jnp.flip(sd, axis=0)[..., vflip]
+    return jnp.where(flip > 0, flipped, sd)
+
+
+def _target_registration(reg, grid, flip):
+    """(parity: read_and_deform_registration, utils.py:458-471 —
+    scale 1/10000, x-coordinate sign flip under sagittal flip)"""
+    chans = [_deform(jnp.nan_to_num(reg[..., c]) / 10000.0, grid)
+             for c in range(3)]
+    rx = jnp.where(flip > 0, -jnp.flip(chans[0], 0), chans[0])
+    ry = jnp.where(flip > 0, jnp.flip(chans[1], 0), chans[1])
+    rz = jnp.where(flip > 0, jnp.flip(chans[2], 0), chans[2])
+    return jnp.stack([rx, ry, rz], axis=-1)
+
+
+def _target_pathology(key, subject, grid, setup, cfg):
+    """(parity: read_and_deform_pathology, utils.py:428-455 + the
+    healthy-case routing of datasets.py:596-618). Returns (P, Pprob),
+    each (*size, 1); zeroed when pathol_mode is off or mass below tol."""
+    size = grid[0].shape
+    k1, k2 = jax.random.split(key)
+    use_random = setup["pathol_random_shape"] > 0
+
+    if "pathol_prob" in subject:
+        pfile = _deform(jnp.nan_to_num(subject["pathol_prob"]), grid)
+        if cfg.augment_pathology:
+            pfile = augment_pathology(k2, pfile, cfg)
+    else:
+        pfile = jnp.zeros(size)
+        use_random = jnp.ones(()) > 0  # only the random branch exists
+
+    prand, _ = random_shape(k1, size, cfg)
+    pdef = jnp.where(use_random, prand, pfile)
+
+    p = binarize(pdef, cfg.pathol_thres)
+    alive = (setup["pathol_mode"] > 0) & (jnp.mean(p) > cfg.pathol_tol)
+    p = jnp.where(alive, p, 0.0)
+    pdef = jnp.where(alive, pdef, 0.0)
+    return p[..., None], pdef[..., None]
+
+
+def make_targets(key, subject, grid, setup, sfd, cfg, tasks):
+    """Deform every requested target (parity: datasets.py:716-724 loop)."""
+    flip = setup["flip"]
+    left = cfg.left_hemis_only
+    labels = LABELS_LEFT if left else LABELS_EXTRACEREBRAL
+    lut = jnp.asarray(build_lut(labels))
+    vflip = jnp.asarray(build_vflip(len(labels)))
+
+    hemis_mask = None
+    if left and "seg" in subject and "reg" in subject:
+        s = lut[jnp.clip(subject["seg"].astype(jnp.int32), 0, lut.shape[0] - 1)]
+        hemis_mask = ((s > 0) & (subject["reg"][..., 0] < 0)).astype(jnp.int32)
+
+    target = {}
+    for t in ("T1", "T2", "FLAIR"):
+        if t in tasks and t in subject:
+            target[t] = _target_image(subject[t], grid, flip, hemis_mask)
+            dm = subject.get(f"{t}_DM")
+            if dm is not None:
+                d = jnp.clip(_deform(jnp.nan_to_num(dm), grid), 0.0, None)
+                d = d / jnp.maximum(jnp.max(d), 1e-12)
+                target[f"{t}_DM"] = _flip0(d, flip)[..., None]
+    if "CT" in tasks and "CT" in subject:
+        target["CT"] = _target_ct(subject["CT"], grid, flip, hemis_mask)
+    if "segmentation" in tasks and "seg" in subject:
+        target["segmentation"] = _target_segmentation(
+            subject["seg"], grid, flip, lut, vflip, hemis_mask,
+            cfg.deform_one_hots)
+    if "distance" in tasks and "dist" in subject:
+        target["distance"] = _target_distance(subject["dist"], grid, flip,
+                                              sfd, cfg, left)
+    if "registration" in tasks and "reg" in subject:
+        target["registration"] = _target_registration(subject["reg"], grid, flip)
+    if "pathology" in tasks:
+        p, pprob = _target_pathology(key, subject, grid, setup, cfg)
+        target["pathology"] = p
+        target["pathology_prob"] = pprob
+    if "age" in tasks and "age" in subject:
+        target["age"] = subject["age"]
+    return target, hemis_mask
+
+
+def _finish_sample(key, idef, cfg, setup, knobs, tasks, target,
+                   pathol_direction, input_mode):
+    """Pathology encode + augmentation chain + restore + normalize + flip
+    (parity: augment_sample, datasets.py:306-354)."""
+    k1, k2 = jax.random.split(key)
+    if input_mode == "CT":
+        idef = jnp.clip(idef, 0.0, 80.0)
+    if "pathology" in tasks:
+        p = target["pathology"][..., 0]
+        pprob = target["pathology_prob"][..., 0]
+        enc = encode_pathology(k1, idef, p, pprob, pathol_direction)
+        idef = jnp.where(jnp.sum(p) > 0, jnp.maximum(enc, 0.0), idef)
+
+    restored, aux = augment_chain(k2, idef, cfg, setup, knobs,
+                                  is_ct=(input_mode == "CT"))
+    maxi = jnp.maximum(jnp.max(restored), 1e-12)
+    final = restored / maxi
+
+    flip = setup["flip"]
+    sample = {"input": _flip0(final, flip)[..., None]}
+    if "super_resolution" in tasks and "high_res" in aux:
+        sr = aux["high_res"] / maxi - final
+        sample["high_res_residual"] = _flip0(sr, flip)[..., None]
+    if "bias_field" in tasks and input_mode != "CT" and "BFlog" in aux:
+        sample["bias_field_log"] = _flip0(aux["BFlog"], flip)[..., None]
+    return sample
+
+
+def _synth_sample(key, subject, grid, cfg, setup, knobs, tasks, target):
+    """One synthetic-contrast sample (parity: generate_sample,
+    datasets.py:357-412)."""
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    mus, sigmas = sample_contrast_lut(k1, cfg.ct_prob, setup["photo_mode"])
+    gen = subject["gen"]
+    syn_subj = synth_intensities(k2, gen, mus, sigmas)
+    syn = _deform(syn_subj, grid)
+
+    # random linear mix with real contrasts (datasets.py:379-388)
+    if cfg.mix_synth_prob > 0:
+        mix = jax.random.uniform(k3) < cfg.mix_synth_prob
+        v = jax.random.uniform(k4, (4,))
+        v = v.at[2].set(jnp.where(jnp.asarray("T2" in subject), v[2], 0.0))
+        v = v.at[3].set(jnp.where(jnp.asarray("FLAIR" in subject), v[3], 0.0))
+        v = v / jnp.sum(v)
+        mixed = v[0] * syn
+        # targets are flipped when setup.flip — unflip for mixing consistency
+        for i, t in enumerate(("T1", "T2", "FLAIR"), start=1):
+            if t in target:
+                mixed = mixed + v[i] * _flip0(target[t][..., 0], setup["flip"])
+        syn = jnp.where(mix, mixed, syn)
+
+    # pathology direction from tissue contrast (datasets.py:390-409)
+    gr = jnp.where(gen == 77, 2, gen).astype(jnp.int32)
+    wm = (gr == 2) | (gr == 41)
+    gm = (gr != 0) & ~wm
+    wm_mean = jnp.sum(syn_subj * wm) / jnp.maximum(jnp.sum(wm), 1)
+    gm_mean = jnp.sum(syn_subj * gm) / jnp.maximum(jnp.sum(gm), 1)
+    pathol_dir = (gm_mean > wm_mean).astype(jnp.float32)
+
+    if "pathology" in tasks:
+        cerebral = _deform(jnp.where(gr == 0, 0.0, syn_subj), grid)
+        keep = (cerebral != 0).astype(jnp.float32)[..., None]
+        target["pathology"] = target["pathology"] * keep
+        target["pathology_prob"] = target["pathology_prob"] * keep
+
+    syn = jnp.maximum(syn, 0.0)
+    return _finish_sample(k5, syn, cfg, setup, knobs, tasks, target,
+                          pathol_dir, "synth"), target
+
+
+def _real_sample(key, subject, grid, cfg, setup, knobs, tasks, target,
+                 input_mode, hemis_mask):
+    """One real-image sample (parity: augment_sample on a file image,
+    datasets.py:306-317)."""
+    k1, k2 = jax.random.split(key)
+    v = jnp.nan_to_num(subject["image"])
+    if hemis_mask is not None:
+        v = jnp.where(hemis_mask == 0, 0.0, v)
+    idef = _deform(v, grid)
+    if input_mode in ("T1", "CT"):
+        pathol_dir = jnp.zeros(())
+    elif input_mode in ("T2", "FLAIR"):
+        pathol_dir = jnp.ones(())
+    else:
+        pathol_dir = (jax.random.uniform(k1) < 0.5).astype(jnp.float32)
+    return _finish_sample(k2, idef, cfg, setup, knobs, tasks, target,
+                          pathol_dir, input_mode)
+
+
+@partial(jax.jit, static_argnames=("cfg", "tasks", "input_mode",
+                                   "subject_keys"))
+def _synth_item_impl(key, subject_vals, subject_keys, cfg: SynthStatic,
+                     tasks: tuple, input_mode: str, knobs_stack):
+    subject = dict(zip(subject_keys, subject_vals))
+    k_setup, k_field, k_aff, k_tgt, k_samp = jax.random.split(key, 5)
+    setup = sample_setup(k_setup, cfg)
+    shp = subject["shape"]
+    sfd, A, c2 = random_affine(k_aff, cfg, shp)
+    F = None
+    if cfg.nonlinear_transform:
+        F, _ = random_nonlinear_field(k_field, cfg, setup,
+                                      need_inverse=("surface" in tasks))
+    grid = deform_grid(cfg, shp, A, c2, F)
+
+    target, hemis_mask = make_targets(k_tgt, subject, grid, setup, sfd, cfg,
+                                      tasks)
+
+    samples = []
+    S = cfg.all_samples
+    for i in range(S):
+        ki = jax.random.fold_in(k_samp, i)
+        knobs = jax.tree.map(lambda a: a[i], knobs_stack)
+        if input_mode == "synth":
+            sample, target = _synth_sample(ki, subject, grid, cfg, setup,
+                                           knobs, tasks, target)
+        else:
+            sample = _real_sample(ki, subject, grid, cfg, setup, knobs, tasks,
+                                  target, input_mode, hemis_mask)
+        samples.append(sample)
+
+    # flip pathology targets at the very end (datasets.py:752-753)
+    if "pathology" in target:
+        target["pathology"] = _flip0(target["pathology"], setup["flip"])
+        target["pathology_prob"] = _flip0(target["pathology_prob"],
+                                          setup["flip"])
+
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *samples)
+    return target, stacked
+
+
+def synth_item(key, subject: dict, cfg: SynthStatic, tasks: Sequence[str],
+               input_mode: str, knobs_stack):
+    """Generate one training item: (target dict, samples dict stacked on a
+    leading S axis). `input_mode` in {'synth','T1','T2','FLAIR','CT'};
+    knobs_stack leaves have leading dim cfg.all_samples."""
+    keys = tuple(sorted(subject.keys()))
+    vals = tuple(subject[k] for k in keys)
+    return _synth_item_impl(key, vals, keys, cfg, tuple(tasks), input_mode,
+                            knobs_stack)
+
+
+# ---------------------------------------------------------------------------
+# host-side subject bank
+# ---------------------------------------------------------------------------
+
+MILD_KNOBS = dict(gamma_std=0.01, bf_scale_min=0.01, bf_scale_max=0.02,
+                  bf_std_min=0.0, bf_std_max=0.02, noise_std_min=0.0,
+                  noise_std_max=0.02)
+SEVERE_KNOBS = dict(gamma_std=0.1, bf_scale_min=0.02, bf_scale_max=0.04,
+                    bf_std_min=0.1, bf_std_max=0.6, noise_std_min=0.05,
+                    noise_std_max=1.0)
+SYNTH_NOISE = dict(noise_std_min=5.0, noise_std_max=15.0)
+REAL_NOISE = dict(noise_std_min=0.0, noise_std_max=0.02)
+
+
+def build_knobs_stack(cfg: SynthStatic, input_mode: str,
+                      mild=None, severe=None):
+    """Per-sample augmentation strengths (parity: BrainIDGen's
+    update_gen_args dance, datasets.py:728-748: mild/severe by sample index,
+    then the synth/real noise override)."""
+    mild = dict(MILD_KNOBS, **(mild or {}))
+    severe = dict(SEVERE_KNOBS, **(severe or {}))
+    noise = SYNTH_NOISE if input_mode == "synth" else REAL_NOISE
+    rows = []
+    for i in range(cfg.all_samples):
+        row = dict(mild if i < cfg.mild_samples else severe)
+        row.update(noise)
+        rows.append(row)
+    return {k: jnp.asarray([r[k] for r in rows], jnp.float32)
+            for k in rows[0]}
+
+
+class SubjectBank:
+    """Host-side resident subject store.
+
+    Replaces the reference's per-item nibabel reads + DataLoader workers
+    (Generator/datasets.py:563-589): subjects are decoded once (our NIfTI
+    reader), padded to a fixed bank shape, and shipped to device, where the
+    jitted synthesis reads them directly. Also provides procedurally
+    generated debug subjects so the full pipeline runs without data.
+    """
+
+    def __init__(self, bank_shape=(192, 192, 192)):
+        self.bank_shape = tuple(bank_shape)
+        self.subjects = []
+
+    @staticmethod
+    def _pad(vol, shape):
+        out = np.zeros(shape + vol.shape[3:], vol.dtype)
+        sl = tuple(slice(0, min(s, t)) for s, t in zip(vol.shape[:3], shape))
+        out[sl] = vol[tuple(sl)]
+        return out
+
+    def add_from_files(self, paths: dict, age=None):
+        """paths: {'gen': ..., 'seg': ..., 'T1': ..., 'dist': [4 paths],
+        'reg': [3 paths], ...} mapping to NIfTI files."""
+        from ..utils.nifti import load_nifti
+
+        subj = {}
+        shape = None
+        for key, p in paths.items():
+            if key in ("dist", "reg"):
+                chans = [load_nifti(q)[0] for q in p]
+                vol = np.stack(chans, axis=-1).astype(np.float32)
+            else:
+                vol, _ = load_nifti(p)
+                vol = vol.astype(np.int32 if key in ("gen", "seg")
+                                 else np.float32)
+            shape = vol.shape[:3]
+            subj[key] = self._pad(vol, self.bank_shape)
+        subj["shape"] = np.asarray(shape, np.float32)
+        if age is not None:
+            subj["age"] = np.float32(age)
+        self.subjects.append(subj)
+        return len(self.subjects) - 1
+
+    def add_debug_subject(self, seed=0, extent=(160, 160, 160)):
+        """Procedural label-blob subject for tests/benchmarks."""
+        rng = np.random.default_rng(seed)
+        D, H, W = extent
+        zz, yy, xx = np.meshgrid(np.linspace(-1, 1, D), np.linspace(-1, 1, H),
+                                 np.linspace(-1, 1, W), indexing="ij")
+        r = np.sqrt(xx ** 2 + yy ** 2 + zz ** 2)
+        gen = np.zeros(extent, np.int32)
+        gen[r < 0.8] = 3    # GM shell
+        gen[r < 0.6] = 2    # WM
+        gen[r < 0.2] = 4    # ventricle/CSF
+        for lab in (10, 11, 12, 13, 17, 18):
+            c = rng.uniform(-0.4, 0.4, 3)
+            rr = np.sqrt((xx - c[0]) ** 2 + (yy - c[1]) ** 2 + (zz - c[2]) ** 2)
+            gen[rr < rng.uniform(0.05, 0.12)] = lab
+        seg = gen.copy()
+        t1 = (gen > 0).astype(np.float32) * (100 + 50 * rng.standard_normal(extent)).clip(0)
+        dist = np.stack([128 + 20 * (r - 0.7)] * 4, axis=-1).astype(np.float32)
+        reg = np.stack([xx, yy, zz], axis=-1).astype(np.float32) * 10000
+        subj = {
+            "gen": self._pad(gen, self.bank_shape),
+            "seg": self._pad(seg, self.bank_shape),
+            "T1": self._pad(t1, self.bank_shape),
+            "image": self._pad(t1, self.bank_shape),
+            "dist": self._pad(dist, self.bank_shape),
+            "reg": self._pad(reg, self.bank_shape),
+            "shape": np.asarray(extent, np.float32),
+        }
+        self.subjects.append(subj)
+        return len(self.subjects) - 1
+
+    def to_device(self, idx: int):
+        return {k: jnp.asarray(v) for k, v in self.subjects[idx].items()}
+
+    def __len__(self):
+        return len(self.subjects)
