@@ -1,0 +1,108 @@
+"""Driver benchmark: tiled-inference volumes/sec/chip on the flagship model.
+
+Emits ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The north star (BASELINE.md): tiled whole-brain inference throughput per
+chip, 160^3 windows / stride 80 over a 1 mm whole-brain volume
+(cfgs/trainer/default_val.yaml:10, scripts/demo_test.py:126), plus the
+generator samples/sec as a secondary print. vs_baseline compares against
+the measured PyTorch-reference line in BASELINE.json when present (none is
+published; field reports the raw ratio to 1 vol/s as a stable stand-in).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+
+def main():
+    from brainfm_tpu.config import AttrDict
+    from brainfm_tpu.infer.api import Inferencer
+    from brainfm_tpu.synth import SynthStatic, synth_item
+    from brainfm_tpu.synth.engine import SubjectBank, build_knobs_stack
+
+    cfg = AttrDict.from_nested({
+        "task": {"T1": True, "T2": True, "FLAIR": True, "CT": True,
+                 "segmentation": True, "distance": True,
+                 "registration": True, "bias_field": True},
+        "generator": {"left_hemis_only": False, "size": [160, 160, 160]},
+        "losses": {"uncertainty": None},
+        "backbone": "unet3d", "f_maps": 64, "num_levels": 5, "num_groups": 8,
+        "layer_order": "gcl", "unit_feat": False, "task_f_maps": [64],
+        "max_surf_distance": 3.0,
+    })
+    inf = Inferencer(cfg, ckpt_path=None, compute_dtype=jnp.bfloat16,
+                     exact=False)
+
+    # whole-brain 1mm volume (reference inference shape, 220^3 twin of
+    # demo_test): tiles 160^3, stride 80
+    vol = jnp.asarray(np.random.default_rng(0).random((220, 220, 220)),
+                      jnp.float32)
+
+    # warmup/compile
+    out = inf.evaluate_tiled(vol, stride=(80, 80, 80),
+                             win_size=(160, 160, 160), run_postprocess=False)
+    jax.block_until_ready(out)
+
+    n_rep = 3
+    t0 = time.time()
+    for _ in range(n_rep):
+        out = inf.evaluate_tiled(vol, stride=(80, 80, 80),
+                                 win_size=(160, 160, 160),
+                                 run_postprocess=False)
+        jax.block_until_ready(out)
+    dt = (time.time() - t0) / n_rep
+    vols_per_sec = 1.0 / dt
+
+    # secondary: generator throughput
+    bank = SubjectBank(bank_shape=(192, 192, 192))
+    bank.add_debug_subject(seed=0, extent=(180, 180, 180))
+    subj = bank.to_device(0)
+    scfg = SynthStatic(size=(160, 160, 160), all_samples=2, mild_samples=1)
+    tasks = ("T1", "segmentation", "distance", "registration", "bias_field")
+    knobs = build_knobs_stack(scfg, "synth")
+    _t, _s = synth_item(jax.random.PRNGKey(0), subj, scfg, tasks, "synth", knobs)
+    jax.block_until_ready(_s)
+    t0 = time.time()
+    n_gen = 8
+    for i in range(n_gen):
+        _t, _s = synth_item(jax.random.PRNGKey(i + 1), subj, scfg, tasks,
+                            "synth", knobs)
+        jax.block_until_ready(_s)
+    gen_dt = (time.time() - t0) / n_gen
+    print(f"# generator: {2 / gen_dt:.1f} samples/s @160^3 "
+          f"({gen_dt * 1e3:.1f} ms/item)", file=sys.stderr)
+    print(f"# tiled inference: {dt * 1e3:.0f} ms / 220^3 volume "
+          f"(27 tiles of 160^3)", file=sys.stderr)
+
+    baseline = None
+    try:
+        with open("/root/repo/BASELINE.json") as f:
+            bl = json.load(f)
+        baseline = (bl.get("measured", {}) or {}).get(
+            "tiled_inference_vols_per_sec")
+    except Exception:
+        pass
+    vs = vols_per_sec / baseline if baseline else vols_per_sec
+
+    print(json.dumps({
+        "metric": "tiled_inference_vols_per_sec_per_chip",
+        "value": round(vols_per_sec, 4),
+        "unit": "volumes/s (220^3 @1mm, 160^3 tiles, stride 80, joint 8-task "
+                "UNet3D f64 L5)",
+        "vs_baseline": round(vs, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()
+    import os
+
+    os._exit(0)

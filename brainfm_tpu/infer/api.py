@@ -1,0 +1,154 @@
+"""High-level inference API.
+
+Parity with /root/reference/utils/test_utils.py:290-405 (`evaluate_image`,
+`evaluate_path`) and :45-57 (`get_deformed_atlas`), restructured so the
+model is built, loaded and jitted ONCE (the reference rebuilds per call —
+test_utils.py:300-301, flagged in SURVEY.md §3.3).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import AttrDict, load_config
+from ..models.build import apply_processors, build_model, postprocess
+from ..ops.interp import trilinear3d
+from ..utils.nifti import MRIread, viewVolume
+from .prepare import prepare_image
+from .tiles import tiled_apply
+
+
+class Inferencer:
+    """Load once, jit once, evaluate many
+    (replaces evaluate_image/evaluate_path per-call rebuilds)."""
+
+    def __init__(self, cfg: AttrDict, ckpt_path: str | None = None,
+                 compute_dtype=jnp.float32, exact: bool = True):
+        if exact:
+            jax.config.update("jax_default_matmul_precision", "highest")
+        self.cfg, self.model = build_model(cfg, compute_dtype=compute_dtype)
+        if ckpt_path and ckpt_path.endswith((".pth", ".pt")):
+            from ..models.torch_import import import_checkpoint
+
+            self.params = import_checkpoint(ckpt_path)
+        elif ckpt_path:
+            from ..train.checkpoint import load_checkpoint, latest_checkpoint
+            from ..train.step import TrainState
+
+            path = ckpt_path if os.path.isdir(ckpt_path) else \
+                latest_checkpoint(ckpt_path)
+            dummy = self._init_params()
+            state = TrainState(dummy["params"] if "params" in dummy else dummy,
+                               (), jnp.zeros((), jnp.int32))
+            import orbax.checkpoint as ocp
+
+            ckptr = ocp.StandardCheckpointer()
+            restored = ckptr.restore(os.path.abspath(path),
+                                     {"params": state.params})
+            self.params = {"params": restored["params"]}
+        else:
+            self.params = self._init_params()
+        self._jitted = jax.jit(self._forward)
+
+    def _init_params(self):
+        size = tuple(self.cfg.generator.size)
+        x = jnp.zeros((1, *size, 1), jnp.float32)
+        return self.model.init(jax.random.PRNGKey(0), x)
+
+    def _forward(self, x):
+        out = self.model.apply(self.params, x)
+        return apply_processors(out, self.cfg)
+
+    def evaluate_image(self, inputs, feature_only: bool = False,
+                       run_postprocess: bool = True):
+        """inputs: (B, D, H, W, 1) or (D, H, W). (parity:
+        test_utils.py:290-312)."""
+        x = jnp.asarray(inputs)
+        if x.ndim == 3:
+            x = x[None, ..., None]
+        out = self._jitted(x)
+        if feature_only:
+            return out["feat"][-1]
+        if run_postprocess:
+            out = postprocess(out, self.cfg, samples={"input": x})
+        return out
+
+    def evaluate_tiled(self, vol, stride=(80, 80, 80),
+                       win_size=(160, 160, 160), run_postprocess: bool = True):
+        """Whole-volume via tiles + overlap blending (parity:
+        demo_test.test_tile, scripts/demo_test.py:66-119)."""
+
+        def apply_fn(tile):
+            out = self.model.apply(self.params, tile)
+            out = apply_processors(out, self.cfg)
+            return {k: v for k, v in out.items() if k != "feat"}
+
+        outs = tiled_apply(apply_fn, jnp.asarray(vol), stride, win_size)
+        if run_postprocess:
+            outs = {k: v[None] for k, v in outs.items()}
+            outs = postprocess(outs, self.cfg,
+                               samples={"input": jnp.asarray(vol)[None, ..., None]})
+            outs = {k: (v[0] if hasattr(v, "ndim") and v.ndim >= 4 else v)
+                    for k, v in outs.items()}
+        return outs
+
+    def get_feature(self, img_path_or_vol, win_size=None):
+        """64-channel feature extraction (parity:
+        scripts/demo_get_feature.py:27-44)."""
+        if isinstance(img_path_or_vol, str):
+            im, _, _, _ = prepare_image(img_path_or_vol, win_size)
+        else:
+            im = jnp.asarray(img_path_or_vol)
+        return self.evaluate_image(im, feature_only=True)
+
+    def evaluate_path(self, input_paths, save_dir, win_size=(220, 220, 220),
+                      exclude_keys=(), ext=".nii.gz", save_input=False):
+        """Batch file evaluation with NIfTI dumps (parity:
+        test_utils.py:354-405)."""
+        results = []
+        for p in input_paths:
+            im, aff, crop_start, orig_shp = prepare_image(p, list(win_size))
+            out_dir = os.path.join(save_dir,
+                                   os.path.basename(p).split(".nii")[0])
+            os.makedirs(out_dir, exist_ok=True)
+            if save_input:
+                viewVolume(np.asarray(im), aff, names=["input"], ext=ext,
+                           save_dir=out_dir)
+            outs = self.evaluate_image(im)
+            for key, val in outs.items():
+                if key in exclude_keys or key == "feat":
+                    continue
+                arr = np.asarray(val)[0]
+                arr = np.clip(arr, 0.0, None) if key not in (
+                    "regx", "regy", "regz") else arr
+                viewVolume(arr.squeeze(), aff, names=[f"out_{key}"], ext=ext,
+                           save_dir=out_dir)
+            results.append(out_dir)
+        return results
+
+
+_ATLAS = {}
+
+
+def get_deformed_atlas(brain_labels, regx, regy, regz,
+                       atlas_path: str = "/root/reference/files/gca.mgz"):
+    """Warp the MNI atlas through predicted registration coordinates
+    (parity: test_utils.py:45-57)."""
+    if atlas_path not in _ATLAS:
+        mni, aff2 = MRIread(atlas_path)
+        _ATLAS[atlas_path] = (jnp.asarray(mni),
+                              jnp.asarray(np.linalg.inv(aff2), jnp.float32))
+    mni, A = _ATLAS[atlas_path]
+    m = brain_labels > 0
+    xx = 100.0 * regx
+    yy = 100.0 * regy
+    zz = 100.0 * regz
+    ii = A[0, 0] * xx + A[0, 1] * yy + A[0, 2] * zz + A[0, 3]
+    jj = A[1, 0] * xx + A[1, 1] * yy + A[1, 2] * zz + A[1, 3]
+    kk = A[2, 0] * xx + A[2, 1] * yy + A[2, 2] * zz + A[2, 3]
+    vals = trilinear3d(mni, ii, jj, kk)
+    return jnp.where(m, vals, 0.0)

@@ -1,0 +1,159 @@
+"""Evaluation metrics: dice, L1, normalized L2, PSNR, SSIM, MS-SSIM.
+
+Parity with /root/reference/Trainer/models/evaluator.py:55-195 (the metric
+registry and `eval`), with SSIM/MS-SSIM implemented natively in JAX
+(the reference uses pytorch_msssim) using the standard Wang et al.
+formulation (11x11 gaussian window, K1=0.01, K2=0.03).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def dice(pred_onehot, target_onehot, eps: float = 1e-5):
+    """Per-channel dice over spatial dims; inputs (..., D,H,W,C)."""
+    axes = tuple(range(pred_onehot.ndim - 4, pred_onehot.ndim - 1))
+    inter = jnp.sum(pred_onehot * target_onehot, axis=axes)
+    union = jnp.sum(pred_onehot + target_onehot, axis=axes)
+    return 2.0 * inter / jnp.clip(union, eps, None)
+
+
+def seg_dice(pred_labels, target_labels, labels):
+    """Mean dice over a label list from hard label maps
+    (parity: evaluator.py dice on argmax outputs)."""
+    scores = []
+    for lab in labels:
+        p = (pred_labels == lab).astype(jnp.float32)
+        t = (target_labels == lab).astype(jnp.float32)
+        denom = jnp.sum(p) + jnp.sum(t)
+        scores.append(jnp.where(denom > 0,
+                                2 * jnp.sum(p * t) / jnp.clip(denom, 1e-5, None),
+                                1.0))
+    return jnp.mean(jnp.stack(scores))
+
+
+def l1(pred, target, mask=None):
+    d = jnp.abs(pred - target)
+    if mask is not None:
+        return jnp.sum(d * mask) / jnp.clip(jnp.sum(mask), 1.0, None)
+    return jnp.mean(d)
+
+
+def normalized_l2(pred, target, eps: float = 1e-12):
+    """(parity: bf_normalized_l2 — relative L2 of the bias-field estimate)"""
+    return jnp.linalg.norm(pred - target) / (jnp.linalg.norm(target) + eps)
+
+
+def psnr(pred, target, data_range: float = 1.0):
+    mse = jnp.mean((pred - target) ** 2)
+    return 10.0 * jnp.log10(data_range ** 2 / jnp.clip(mse, 1e-12, None))
+
+
+def _gaussian_window(size: int = 11, sigma: float = 1.5):
+    x = jnp.arange(size) - size // 2
+    g = jnp.exp(-(x ** 2) / (2 * sigma ** 2))
+    return g / g.sum()
+
+
+def _filter3d(x, win):
+    """Separable 3-D filter of (D,H,W) with a 1-D window, valid padding."""
+    for ax in range(3):
+        xm = jnp.moveaxis(x, ax, -1)
+        shp = xm.shape
+        xr = xm.reshape(-1, 1, shp[-1])
+        out = jax.lax.conv_general_dilated(
+            xr, win.reshape(1, 1, -1), (1,), "VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"))
+        x = jnp.moveaxis(out.reshape(shp[:-1] + (out.shape[-1],)), -1, ax)
+    return x
+
+
+def ssim(pred, target, data_range: float = 1.0, win_size: int = 11,
+         sigma: float = 1.5, k1: float = 0.01, k2: float = 0.03,
+         return_cs: bool = False):
+    """3-D SSIM of (D,H,W) volumes (Wang et al. 2004 — the formulation
+    pytorch_msssim implements)."""
+    win = _gaussian_window(win_size, sigma)
+    c1 = (k1 * data_range) ** 2
+    c2 = (k2 * data_range) ** 2
+    mu_p = _filter3d(pred, win)
+    mu_t = _filter3d(target, win)
+    mu_pp = mu_p * mu_p
+    mu_tt = mu_t * mu_t
+    mu_pt = mu_p * mu_t
+    sig_pp = _filter3d(pred * pred, win) - mu_pp
+    sig_tt = _filter3d(target * target, win) - mu_tt
+    sig_pt = _filter3d(pred * target, win) - mu_pt
+    cs = (2 * sig_pt + c2) / (sig_pp + sig_tt + c2)
+    s = ((2 * mu_pt + c1) / (mu_pp + mu_tt + c1)) * cs
+    if return_cs:
+        return jnp.mean(s), jnp.mean(cs)
+    return jnp.mean(s)
+
+
+def ms_ssim(pred, target, data_range: float = 1.0, win_size: int = 11,
+            weights=(0.0448, 0.2856, 0.3001, 0.2363, 0.1333)):
+    """Multi-scale SSIM (Wang et al. 2003). Downsampling = 2x avg pool."""
+    weights = jnp.asarray(weights)
+    levels = weights.shape[0]
+    mcs = []
+    p, t = pred, target
+    val = None
+    for i in range(levels):
+        s, cs = ssim(p, t, data_range, win_size, return_cs=True)
+        if i < levels - 1:
+            mcs.append(jnp.maximum(cs, 0.0))
+            p = jax.lax.reduce_window(p, 0.0, jax.lax.add, (2, 2, 2),
+                                      (2, 2, 2), "VALID") / 8.0
+            t = jax.lax.reduce_window(t, 0.0, jax.lax.add, (2, 2, 2),
+                                      (2, 2, 2), "VALID") / 8.0
+        else:
+            val = jnp.maximum(s, 0.0)
+    out = val ** weights[-1]
+    for i, cs in enumerate(mcs):
+        out = out * cs ** weights[i]
+    return out
+
+
+METRIC_MAP = {
+    "l1": l1,
+    "psnr": psnr,
+    "ssim": ssim,
+    "ms_ssim": ms_ssim,
+    "normalized_l2": normalized_l2,
+    "dice": seg_dice,
+}
+
+
+class Evaluator:
+    """Metric-name driven evaluation (parity: Evaluator,
+    evaluator.py:55-195). metric names like 'recon_psnr', 'seg_dice'."""
+
+    def __init__(self, metric_names, labels=None):
+        self.metric_names = list(metric_names)
+        self.labels = labels
+
+    def eval(self, outputs: dict, targets: dict):
+        res = {}
+        for name in self.metric_names:
+            prefix, metric = name.rsplit("_", 1) if "_" in name \
+                else (name, name)
+            if name.endswith("ms_ssim"):
+                prefix, metric = name[: -len("_ms_ssim")], "ms_ssim"
+            if metric == "dice":
+                key = "label" if "seg" in prefix else "pathology"
+                if key in outputs and key in targets:
+                    res[name] = float(seg_dice(outputs[key].squeeze(),
+                                               targets[key].squeeze(),
+                                               self.labels or [1]))
+                continue
+            src = {"recon": "T1", "sr": "high_res", "bf": "bias_field",
+                   "feat": "T1"}.get(prefix, prefix)
+            if src in outputs and src in targets:
+                fn = METRIC_MAP[metric]
+                res[name] = float(fn(outputs[src].squeeze(),
+                                     targets[src].squeeze()))
+        return res

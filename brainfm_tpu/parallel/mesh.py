@@ -1,0 +1,49 @@
+"""Device mesh construction and sharding rules.
+
+Replaces the reference's process-spawn + NCCL DDP stack
+(/root/reference/utils/multiprocessing.py:8-58, utils/misc.py:437-453,
+scripts/train.py:154-158) with the JAX single-controller model: one mesh,
+named axes, and XLA-inserted collectives over ICI/DCN. Axes:
+
+  data  — batch/sample data parallelism (DDP equivalent; grad psum)
+  space — spatial sharding of the volume (the conv-halo 'context parallel'
+          analog of the reference's tiled inference, utils/test_utils.py:93)
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data: int | None = None, space: int = 1, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data is None:
+        data = n // space
+    assert data * space == n, f"mesh {data}x{space} != {n} devices"
+    arr = np.asarray(devices).reshape(data, space)
+    return Mesh(arr, ("data", "space"))
+
+
+def data_sharding(mesh: Mesh, leading_axis: bool = True) -> NamedSharding:
+    """Shard the leading (sample/batch) axis over 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicate(mesh: Mesh, tree):
+    sh = NamedSharding(mesh, P())
+    return jax.device_put(tree, sh)
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Put a batch pytree on the mesh: leading axis over 'data', everything
+    rank-0 replicated."""
+
+    def put(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] % mesh.shape["data"] == 0:
+            return jax.device_put(x, NamedSharding(mesh, P("data")))
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    return jax.tree.map(put, batch)

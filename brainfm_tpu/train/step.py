@@ -1,0 +1,114 @@
+"""The jitted training step.
+
+Parity with the reference hot loop (/root/reference/Trainer/engine.py:66-188
+`train_one_epoch` per-iteration body): forward over the intra-subject
+sample stack, output processors, weighted multi-task criterion, non-finite
+loss skipping (engine.py:131-145), gradient clipping, adamw with
+per-iteration lr/wd lookup.
+
+TPU design: one pure function jitted once; data parallelism comes from
+sharding the leading sample/batch axis over the mesh 'data' axis — XLA
+inserts the gradient psum the reference gets from DDP hooks
+(scripts/train.py:154). bf16 compute / fp32 params replaces AMP+GradScaler
+(no loss scaling needed on TPU).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.build import apply_processors
+from ..models.criterion import weighted_total
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def build_optimizer(cfg):
+    """(parity: build_optimizer, Trainer/models/__init__.py:362-372).
+    lr/wd are injected per step via optax.inject_hyperparams."""
+    name = (cfg.optimizer or "adamw").lower()
+    clip = float(cfg.clip_max_norm or 0.0)
+
+    def make(learning_rate=1e-4, weight_decay=0.0):
+        chain = []
+        if clip > 0:
+            chain.append(optax.clip_by_global_norm(clip))
+        if name == "adam":
+            chain.append(optax.adam(learning_rate))
+        elif name == "adamw":
+            chain.append(optax.adamw(learning_rate, weight_decay=weight_decay))
+        elif name == "sgd":
+            chain.append(optax.sgd(learning_rate, momentum=0.9))
+        elif name == "lars":
+            chain.append(optax.lars(learning_rate, weight_decay=weight_decay))
+        else:
+            raise ValueError(f"unknown optimizer {name}")
+        return optax.chain(*chain)
+
+    return optax.inject_hyperparams(make)(learning_rate=float(cfg.lr or 1e-4),
+                                          weight_decay=float(cfg.weight_decay
+                                                             or 0.0))
+
+
+def make_train_step(model, cfg, weight_dict, loss_fn: Callable, optimizer,
+                    donate: bool = True):
+    """Returns jitted `step(state, batch, lr, wd) -> (state, metrics)`.
+
+    batch: {'samples': {...leading S axis...}, 'targets': {... leading 1...},
+            'cond': optional}.
+    """
+
+    def per_item(params, samples, targets, cond):
+        outputs = model.apply(params, samples["input"], cond=cond)
+        outputs = apply_processors(outputs, cfg)
+        return loss_fn(outputs, targets, samples)
+
+    def loss_and_metrics(params, batch):
+        # batch leaves carry a leading item axis B (data-parallel over the
+        # mesh 'data' axis); each item holds its intra-subject sample stack S
+        samples = batch["samples"]
+        targets = batch["targets"]
+        cond = batch.get("cond")
+        if cond is None:
+            losses = jax.vmap(lambda s, t: per_item(params, s, t, None))(
+                samples, targets)
+        else:
+            losses = jax.vmap(lambda s, t, c: per_item(params, s, t, c))(
+                samples, targets, cond)
+        losses = {k: jnp.mean(v) for k, v in losses.items()}
+        total = weighted_total(losses, weight_dict)
+        return total, losses
+
+    def step(state: TrainState, batch, lr, wd):
+        (total, losses), grads = jax.value_and_grad(
+            loss_and_metrics, has_aux=True)(state.params, batch)
+
+        # skip non-finite updates (parity: engine.py:131-145)
+        finite = jnp.isfinite(total)
+        gleaves = jax.tree.leaves(grads)
+        for g in gleaves:
+            finite = finite & jnp.all(jnp.isfinite(g))
+        grads = jax.tree.map(lambda g: jnp.where(finite, g, 0.0), grads)
+
+        opt_state = state.opt_state
+        opt_state.hyperparams["learning_rate"] = lr
+        opt_state.hyperparams["weight_decay"] = wd
+        updates, new_opt = optimizer.update(grads, opt_state, state.params)
+        updates = jax.tree.map(lambda u: jnp.where(finite, u, 0.0), updates)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(new_params, new_opt, state.step + 1)
+        metrics = dict(losses)
+        metrics["loss_total"] = total
+        metrics["skipped"] = 1.0 - finite.astype(jnp.float32)
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())

@@ -1,0 +1,100 @@
+"""Training entry point.
+
+Parity with /root/reference/scripts/train.py:56-249: cascading config load,
+dataset/model/criterion build, schedule construction, resume, epoch loop
+with checkpointing. The torch.multiprocessing/NCCL launch stack
+(utils/multiprocessing.py) is replaced by `jax.distributed.initialize` +
+one mesh.
+"""
+
+import argparse
+import glob
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+
+from brainfm_tpu.config import load_config, update_out_dir
+from brainfm_tpu.models import build_model
+from brainfm_tpu.models.criterion import make_criterion
+from brainfm_tpu.synth.engine import SubjectBank
+from brainfm_tpu.train.loop import train
+
+
+def build_bank(cfg, bank_shape=(192, 192, 192)):
+    """Assemble the subject bank from the configured data root; falls back to
+    procedural debug subjects when no data is present (this environment)."""
+    bank = SubjectBank(bank_shape=bank_shape)
+    root = cfg.data_root or ""
+    t1s = sorted(glob.glob(os.path.join(root, "*T1w.nii*"))) if root else []
+    for t1 in t1s:
+        base = t1.split(".T1w.nii")[0]
+        paths = {"T1": t1}
+        gen = base + ".generation_labels.nii"
+        seg = base + f".{cfg.segment_prefix}.nii"
+        if os.path.isfile(gen):
+            paths["gen"] = gen
+        if os.path.isfile(seg):
+            paths["seg"] = seg
+        dist = [base + f".{k}_dist_map.nii" for k in ("lp", "lw", "rp", "rw")]
+        if all(os.path.isfile(p) for p in dist):
+            paths["dist"] = dist
+        reg = [base + f".mni_reg.{a}.nii" for a in ("x", "y", "z")]
+        if all(os.path.isfile(p) for p in reg):
+            paths["reg"] = reg
+        bank.add_from_files(paths)
+    if len(bank) == 0:
+        print("NOTE: no dataset found under", root,
+              "- using procedural debug subjects")
+        for s in range(4):
+            bank.add_debug_subject(seed=s, extent=(180, 180, 180))
+    return bank
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gen_cfg", default=None)
+    ap.add_argument("--train_cfg", default=None)
+    ap.add_argument("--out_dir", default=None)
+    ap.add_argument("--itr_per_epoch", type=int, default=100)
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--resume", default=None)
+    ap.add_argument("--debug", action="store_true")
+    args = ap.parse_args()
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    gen_cfg = load_config([os.path.join(root, "cfgs/generator/default.yaml"),
+                           args.gen_cfg],
+                          cfg_dir=os.path.join(root, "cfgs/generator/train"))
+    train_cfg = load_config([os.path.join(root, "cfgs/trainer/default_train.yaml"),
+                             args.train_cfg],
+                            cfg_dir=os.path.join(root, "cfgs/trainer/train"))
+    # merge generator tree into the trainer cfg the way build_model expects
+    for k, v in gen_cfg.items():
+        if k not in train_cfg:
+            train_cfg[k] = v
+    if args.epochs:
+        train_cfg.n_epochs = args.epochs
+    if args.debug:
+        train_cfg.n_epochs = 1
+
+    cfg, model = build_model(train_cfg)
+    _, weight_dict, loss_fn = make_criterion(cfg)
+
+    out_dir = args.out_dir or update_out_dir(cfg).out_dir
+    bank = build_bank(cfg)
+    itr = 2 if args.debug else args.itr_per_epoch
+    state = train(cfg, model, weight_dict, loss_fn, bank, out_dir,
+                  itr_per_epoch=itr, resume=args.resume)
+    print("training done; final step", int(state.step))
+
+
+if __name__ == "__main__":
+    main()
+    os._exit(0)

@@ -1,0 +1,146 @@
+"""End-to-end training step, tiled inference, and multi-chip dry run on the
+8-device virtual CPU mesh."""
+
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo")
+
+
+def test_dryrun_multichip_8():
+    from __graft_entry__ import dryrun_multichip
+
+    assert len(jax.devices()) == 8
+    dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    from __graft_entry__ import entry
+
+    fn, (params, x) = entry()
+    jax.jit(fn).lower(params, x).compile()
+
+
+def test_train_step_decreases_loss():
+    """A few steps on a fixed tiny batch must reduce the total loss."""
+    from brainfm_tpu.config import AttrDict
+    from brainfm_tpu.models import build_model
+    from brainfm_tpu.models.criterion import make_criterion
+    from brainfm_tpu.train.step import TrainState, build_optimizer, \
+        make_train_step
+
+    size = (16, 16, 16)
+    cfg = AttrDict.from_nested({
+        "task": {"T1": True, "segmentation": True},
+        "generator": {"left_hemis_only": False, "size": list(size)},
+        "losses": {"uncertainty": None, "image_grad": False},
+        "backbone": "unet3d", "f_maps": 8, "num_levels": 2, "num_groups": 8,
+        "layer_order": "gcl", "unit_feat": False, "task_f_maps": [8],
+        "label_list_segmentation_with_csf": [0, 14, 15, 16, 24, 77, 85],
+        "weights": {"seg_ce": 1.0, "seg_dice": 1.0, "image": 1.0},
+        "optimizer": "adamw", "lr": 1e-3, "weight_decay": 0.0,
+        "clip_max_norm": 1.0,
+    })
+    cfg, model = build_model(cfg)
+    _, weight_dict, loss_fn = make_criterion(cfg)
+    opt = build_optimizer(cfg)
+
+    rng = np.random.default_rng(0)
+    n_lab = cfg.n_labels
+    batch = {
+        "samples": {"input": jnp.asarray(rng.random((1, 2, *size, 1)),
+                                         jnp.float32)},
+        "targets": {
+            "T1": jnp.asarray(rng.random((1, 1, *size, 1)), jnp.float32),
+            "segmentation": jax.nn.one_hot(
+                jnp.asarray(rng.integers(0, n_lab, (1, 1, *size))), n_lab),
+        },
+    }
+    params = model.init(jax.random.PRNGKey(0), batch["samples"]["input"][0])
+    state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    step = make_train_step(model, cfg, weight_dict, loss_fn, opt, donate=False)
+
+    losses = []
+    for _ in range(6):
+        state, metrics = step(state, batch, jnp.float32(1e-3), jnp.float32(0.0))
+        losses.append(float(metrics["loss_total"]))
+    assert losses[-1] < losses[0]
+    assert all(np.isfinite(losses))
+    assert float(metrics["skipped"]) == 0.0
+
+
+def test_nan_skip():
+    """A batch that produces a non-finite loss must not update params
+    (parity: Trainer/engine.py:131-145)."""
+    from brainfm_tpu.config import AttrDict
+    from brainfm_tpu.models import build_model
+    from brainfm_tpu.models.criterion import make_criterion
+    from brainfm_tpu.train.step import TrainState, build_optimizer, \
+        make_train_step
+
+    size = (8, 8, 8)
+    cfg = AttrDict.from_nested({
+        "task": {"T1": True},
+        "generator": {"left_hemis_only": False, "size": list(size)},
+        "losses": {"uncertainty": None, "image_grad": False},
+        "backbone": "unet3d", "f_maps": 8, "num_levels": 2, "num_groups": 8,
+        "layer_order": "gcl", "unit_feat": False, "task_f_maps": [8],
+        "label_list_segmentation_with_csf": [0],
+        "weights": {"image": 1.0},
+        "optimizer": "adamw", "lr": 1e-3, "weight_decay": 0.0,
+        "clip_max_norm": 0.0,
+    })
+    cfg, model = build_model(cfg)
+    _, weight_dict, loss_fn = make_criterion(cfg)
+    opt = build_optimizer(cfg)
+    x = jnp.ones((1, 1, *size, 1))
+    batch = {"samples": {"input": x},
+             "targets": {"T1": jnp.full((1, 1, *size, 1), jnp.nan)}}
+    params = model.init(jax.random.PRNGKey(0), x[0])
+    state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    step = make_train_step(model, cfg, weight_dict, loss_fn, opt, donate=False)
+    new_state, metrics = step(state, batch, jnp.float32(1e-3), jnp.float32(0.0))
+    assert float(metrics["skipped"]) == 1.0
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(new_state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_tiled_apply_matches_whole():
+    """Tiled + overlap blending of a translation-invariant-ish op must equal
+    direct application away from tile padding effects; with a pointwise op it
+    is exact everywhere."""
+    from brainfm_tpu.infer.tiles import tile_plan, tiled_apply
+
+    vol = jnp.asarray(np.random.default_rng(0).random((40, 30, 20)),
+                      jnp.float32)
+
+    def apply_fn(tile):
+        return {"y": tile * 2.0 + 1.0}
+
+    out = tiled_apply(apply_fn, vol, stride=(16, 16, 16),
+                      win_size=(24, 24, 24))
+    np.testing.assert_allclose(np.asarray(out["y"][..., 0]),
+                               np.asarray(vol) * 2 + 1, rtol=1e-6)
+    tiles, cnt = tile_plan((40, 30, 20), (16, 16, 16), (24, 24, 24))
+    assert cnt.min() >= 1
+
+
+def test_schedules():
+    from brainfm_tpu.train.schedules import cosine_schedule, multistep_schedule
+
+    s = multistep_schedule(1e-4, [2, 3], 4, 10, warmup_epochs=1)
+    assert len(s) == 40
+    np.testing.assert_allclose(s[0], 0.0)
+    # drops are offset from the end of warmup (reference indexes milestones
+    # into the post-warmup array, utils/misc.py multistep_scheduler)
+    np.testing.assert_allclose(s[15], 1e-4)
+    np.testing.assert_allclose(s[25], 1e-4)
+    np.testing.assert_allclose(s[35], 1e-5, rtol=1e-5)
+    c = cosine_schedule(1e-4, 1e-6, 4, 10)
+    assert len(c) == 40 and c[0] == pytest.approx(1e-4)
