@@ -131,6 +131,48 @@ class Inferencer:
         return results
 
 
+class TwoStageInferencer:
+    """Two-stage inpainting inference (parity: evaluate_image_twostage,
+    utils/test_utils.py:316-350): stage-0 pathology mask, stage-1 masked
+    conditioned prediction — both jitted once."""
+
+    def __init__(self, cfg: AttrDict, pathol_ckpt=None, task_ckpt=None,
+                 compute_dtype=jnp.float32):
+        from ..models.build import build_inpaint_model, twostage_forward
+
+        self.cfg, self.pathol_model, self.task_model = build_inpaint_model(
+            cfg, compute_dtype=compute_dtype)
+        size = tuple(self.cfg.generator.size)
+        x = jnp.zeros((1, *size, 1), jnp.float32)
+
+        def load(model, ckpt, x0):
+            if ckpt and ckpt.endswith((".pth", ".pt")):
+                from ..models.torch_import import import_checkpoint
+
+                return import_checkpoint(ckpt)
+            return model.init(jax.random.PRNGKey(0), x0)
+
+        self.pathol_params = load(self.pathol_model, pathol_ckpt, x)
+        self.task_params = load(self.task_model, task_ckpt,
+                                jnp.concatenate([x, x], -1))
+
+        def fwd(pp, tp, x):
+            out = twostage_forward(self.pathol_model, self.task_model, pp, tp,
+                                   x, self.cfg)
+            return apply_processors(out, self.cfg)
+
+        self._jitted = jax.jit(fwd)
+
+    def evaluate_image(self, inputs, feature_only: bool = False):
+        x = jnp.asarray(inputs)
+        if x.ndim == 3:
+            x = x[None, ..., None]
+        out = self._jitted(self.pathol_params, self.task_params, x)
+        if feature_only:
+            return out["feat_pathol"][-1], out["feat_task"][-1]
+        return postprocess(out, self.cfg, samples={"input": x})
+
+
 _ATLAS = {}
 
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Any, Dict
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -165,6 +166,61 @@ def build_model(cfg, compute_dtype=jnp.float32):
     head = TaskHead(f_maps_list, dict(cfg.out_channels), size,
                     compute_dtype=compute_dtype)
     return cfg, Joiner(backbone, head)
+
+
+def build_conditioned_model(cfg, compute_dtype=jnp.float32):
+    """Mask-conditioned inpainting model (parity: build_conditioned_model,
+    Trainer/models/__init__.py:423-437): extra conditioning channels are
+    concatenated by the Joiner; the head excludes the pathology output."""
+    cfg = process_args(cfg)
+    backbone = build_backbone(cfg, compute_dtype=compute_dtype)
+    out_wo_pathol = {k: v for k, v in cfg.out_channels.items()
+                     if k != "pathology"}
+    head = TaskHead(tuple(cfg.task_f_maps or [64]), out_wo_pathol,
+                    tuple(cfg.generator.size), compute_dtype=compute_dtype)
+    return cfg, Joiner(backbone, head)
+
+
+def build_inpaint_model(cfg, compute_dtype=jnp.float32):
+    """Two-stage inpainting (parity: build_inpaint_model,
+    Trainer/models/__init__.py:441-463): stage-0 pathology predictor +
+    stage-1 mask-conditioned task model. Returns (cfg, pathol_model,
+    task_model)."""
+    cfg = process_args(cfg)
+    names = (cfg.backbone or "unet3d+unet3d").split("+")
+    f_maps_list = tuple(cfg.task_f_maps or [64])
+    size = tuple(cfg.generator.size)
+
+    pathol_backbone = build_backbone(cfg, names[0], compute_dtype)
+    pathol_head = TaskHead(f_maps_list, {"pathology": 1}, size,
+                           compute_dtype=compute_dtype)
+    pathol_model = Joiner(pathol_backbone, pathol_head)
+
+    task_backbone = build_backbone(cfg, names[-1], compute_dtype)
+    out_wo_pathol = {k: v for k, v in cfg.out_channels.items()
+                     if k != "pathology"}
+    task_head = TaskHead(f_maps_list, out_wo_pathol, size,
+                         compute_dtype=compute_dtype)
+    task_model = Joiner(task_backbone, task_head)
+    return cfg, pathol_model, task_model
+
+
+def twostage_forward(pathol_model, task_model, pathol_params, task_params,
+                     x, cfg):
+    """Chained two-stage forward (parity: train_one_epoch_twostage,
+    Trainer/engine.py:193-318 and evaluate_image_twostage,
+    utils/test_utils.py:316-350): stage-0 predicts the pathology mask;
+    stage-1 sees the masked input conditioned on the mask."""
+    out_p = pathol_model.apply(pathol_params, x)
+    pathol = jax.nn.sigmoid(out_p["pathology"])
+    masked = x * (1.0 - pathol)
+    out_t = task_model.apply(task_params, masked, cond=pathol)
+    out = dict(out_t)
+    out["pathology"] = pathol
+    out["feat_pathol"] = out_p["feat"]
+    out["feat_task"] = out_t["feat"]
+    return out
+
 
 
 # ---------------------------------------------------------------------------

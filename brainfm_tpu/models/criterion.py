@@ -202,8 +202,13 @@ def make_criterion(cfg) -> tuple[list, dict, Callable]:
             elif name == "age":
                 losses["loss_age"] = jnp.mean(jnp.abs(outputs["age"] - targets["age"]))
             elif name == "contrastive":
-                f1 = outputs["feat"][0]
-                f2 = outputs["feat"][1]
+                # samples ride the leading axis of the last decoder level
+                # (reference: outputs[0]['feat'][-1] vs outputs[1]['feat'][-1],
+                # criterion.py:96-109)
+                flast = outputs["feat"][-1] if isinstance(outputs["feat"],
+                                                          (list, tuple)) \
+                    else outputs["feat"]
+                f1, f2 = flast[0], flast[1]
                 ta = float(cfg.contrastive_temperatures.alpha)
                 tb = float(cfg.contrastive_temperatures.beta)
                 tg = float(cfg.contrastive_temperatures.gamma)

@@ -22,6 +22,15 @@ try:
 except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
 
+import inspect as _inspect
+
+# jax renamed check_rep -> check_vma; the replication check must be off
+# because halo_exchange's ppermute has no replication rule
+if "check_vma" in _inspect.signature(shard_map).parameters:
+    _NOCHECK = {"check_vma": False}
+else:
+    _NOCHECK = {"check_rep": False}
+
 
 def halo_exchange(local, halo: int, axis_name: str = "space"):
     """Append `halo` voxels from each spatial neighbor along axis 1 of a
@@ -67,6 +76,6 @@ def spatial_shard_conv_apply(apply_fn, params, x, mesh, halo: int):
         local_apply, mesh=mesh,
         in_specs=(P(), P(None, "space")),
         out_specs=P(None, "space"),
-        check_rep=False,
+        **_NOCHECK,
     )
     return sharded(params, x)

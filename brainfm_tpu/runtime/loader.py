@@ -1,0 +1,89 @@
+"""ctypes binding for the native volume codec (volcodec.cpp) with a
+pure-python fallback (utils/nifti.py). Builds on first use with g++."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libvolcodec.so")
+_LIB = None
+
+
+def build_native(force: bool = False) -> bool:
+    src = os.path.join(_DIR, "volcodec.cpp")
+    if os.path.isfile(_SO) and not force \
+            and os.path.getmtime(_SO) >= os.path.getmtime(src):
+        return True
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", src,
+             "-lz", "-lpthread", "-o", _SO],
+            check=True, capture_output=True)
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+        print("volcodec native build failed:", getattr(e, "stderr", e))
+        return False
+
+
+def _load():
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    if not os.path.isfile(_SO) and not build_native():
+        return None
+    lib = ctypes.CDLL(_SO)
+    lib.volcodec_init.argtypes = [ctypes.c_int]
+    lib.volcodec_decode_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_int)]
+    lib.volcodec_decode_batch.restype = ctypes.c_int
+    lib.volcodec_decode_one.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64]
+    lib.volcodec_decode_one.restype = ctypes.c_int
+    _LIB = lib
+    return lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+class VolCodec:
+    """Parallel NIfTI batch decoder into a fixed-shape float32 arena."""
+
+    def __init__(self, bank_shape, n_threads: int = 8):
+        self.bank_shape = tuple(int(s) for s in bank_shape)
+        self.lib = _load()
+        if self.lib is not None:
+            self.lib.volcodec_init(n_threads)
+
+    def decode_batch(self, paths) -> np.ndarray:
+        """Decode `paths` into (N, *bank_shape) float32 (zero padded)."""
+        n = len(paths)
+        arena = np.zeros((n, *self.bank_shape), np.float32)
+        if self.lib is None:  # pure-python fallback
+            from ..utils.nifti import load_nifti
+
+            for i, p in enumerate(paths):
+                vol, _ = load_nifti(p)
+                vol = np.asarray(vol, np.float32)
+                sl = tuple(slice(0, min(a, b))
+                           for a, b in zip(vol.shape[:3], self.bank_shape))
+                arena[i][sl] = vol[sl]
+            return arena
+        c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+        status = (ctypes.c_int * n)()
+        ret = self.lib.volcodec_decode_batch(
+            c_paths, n, arena.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            *self.bank_shape, status)
+        if ret != 0:
+            bad = [(paths[i], status[i]) for i in range(n) if status[i] != 0]
+            raise IOError(f"volcodec decode failures: {bad}")
+        return arena

@@ -112,3 +112,53 @@ def make_train_step(model, cfg, weight_dict, loss_fn: Callable, optimizer,
         return new_state, metrics
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_twostage_train_step(pathol_model, task_model, cfg, weight_dict,
+                             loss_fn, optimizer, train_stage0: bool = True,
+                             donate: bool = True):
+    """Two-stage inpainting step (parity: train_one_epoch_twostage,
+    Trainer/engine.py:193-318): stage-0 predicts the pathology mask from the
+    input; stage-1 sees input*(1-mask) conditioned on the mask. Both stages
+    train jointly under one optimizer (params = {'pathol':..., 'task':...});
+    set train_stage0=False to freeze the pathology predictor."""
+
+    def per_item(params, samples, targets):
+        x = samples["input"]
+        pp = params["pathol"]
+        if not train_stage0:
+            pp = jax.lax.stop_gradient(pp)
+        out_p = pathol_model.apply(pp, x)
+        pathol = jax.nn.sigmoid(out_p["pathology"])
+        masked = x * (1.0 - pathol)
+        out = dict(task_model.apply(params["task"], masked, cond=pathol))
+        out["pathology"] = pathol
+        out = apply_processors(out, cfg)
+        out["pathology"] = pathol  # keep the sigmoid (not double-squashed)
+        return loss_fn(out, targets, samples)
+
+    def loss_and_metrics(params, batch):
+        losses = jax.vmap(lambda s, t: per_item(params, s, t))(
+            batch["samples"], batch["targets"])
+        losses = {k: jnp.mean(v) for k, v in losses.items()}
+        return weighted_total(losses, weight_dict), losses
+
+    def step(state: TrainState, batch, lr, wd):
+        (total, losses), grads = jax.value_and_grad(
+            loss_and_metrics, has_aux=True)(state.params, batch)
+        finite = jnp.isfinite(total)
+        for g in jax.tree.leaves(grads):
+            finite = finite & jnp.all(jnp.isfinite(g))
+        grads = jax.tree.map(lambda g: jnp.where(finite, g, 0.0), grads)
+        opt_state = state.opt_state
+        opt_state.hyperparams["learning_rate"] = lr
+        opt_state.hyperparams["weight_decay"] = wd
+        updates, new_opt = optimizer.update(grads, opt_state, state.params)
+        updates = jax.tree.map(lambda u: jnp.where(finite, u, 0.0), updates)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = dict(losses)
+        metrics["loss_total"] = total
+        metrics["skipped"] = 1.0 - finite.astype(jnp.float32)
+        return TrainState(new_params, new_opt, state.step + 1), metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())

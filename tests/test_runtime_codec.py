@@ -1,0 +1,81 @@
+"""Native volume codec: build, batch decode correctness vs the python
+reader, and throughput sanity."""
+
+import os
+import tempfile
+import time
+
+import numpy as np
+import pytest
+
+from brainfm_tpu.runtime.loader import VolCodec, build_native, native_available
+from brainfm_tpu.utils.nifti import save_nifti
+
+
+@pytest.fixture(scope="module")
+def volumes():
+    d = tempfile.mkdtemp()
+    rng = np.random.default_rng(0)
+    paths, arrays = [], []
+    for i in range(6):
+        vol = rng.random((30 + i, 28, 26)).astype(np.float32)
+        p = os.path.join(d, f"v{i}.nii.gz" if i % 2 else f"v{i}.nii")
+        save_nifti(p, vol)
+        paths.append(p)
+        arrays.append(vol)
+    return paths, arrays
+
+
+def test_native_builds():
+    assert build_native(), "g++ build of volcodec failed"
+    assert native_available()
+
+
+def test_batch_decode_matches_python(volumes):
+    paths, arrays = volumes
+    codec = VolCodec((40, 30, 30), n_threads=4)
+    out = codec.decode_batch(paths)
+    assert out.shape == (6, 40, 30, 30)
+    for i, vol in enumerate(arrays):
+        d, h, w = vol.shape
+        np.testing.assert_allclose(out[i, :d, :h, :w], vol, rtol=1e-6)
+        assert out[i, d:, :, :].sum() == 0  # zero padding
+
+
+def test_int16_and_scaling(volumes):
+    d = tempfile.mkdtemp()
+    vol = (np.random.default_rng(1).random((10, 10, 10)) * 1000).astype(np.int16)
+    p = os.path.join(d, "i16.nii.gz")
+    save_nifti(p, vol)
+    codec = VolCodec((10, 10, 10))
+    out = codec.decode_batch([p])
+    np.testing.assert_allclose(out[0], vol.astype(np.float32), rtol=1e-6)
+
+
+def test_parallel_speedup_smoke(volumes):
+    """Throughput sanity: decoding 24 gz volumes threaded shouldn't be slower
+    than 2x the python fallback on the same files."""
+    d = tempfile.mkdtemp()
+    rng = np.random.default_rng(2)
+    paths = []
+    for i in range(24):
+        vol = rng.random((64, 64, 64)).astype(np.float32)
+        p = os.path.join(d, f"big{i}.nii.gz")
+        save_nifti(p, vol)
+        paths.append(p)
+    codec = VolCodec((64, 64, 64), n_threads=8)
+    codec.decode_batch(paths[:2])  # warm up threads / page cache
+    t0 = time.time()
+    out = codec.decode_batch(paths)
+    native_t = time.time() - t0
+
+    from brainfm_tpu.utils.nifti import load_nifti
+
+    t0 = time.time()
+    for p in paths:
+        load_nifti(p)
+    py_t = time.time() - t0
+    print(f"native {native_t*1e3:.0f} ms vs python {py_t*1e3:.0f} ms")
+    assert out.shape[0] == 24
+    # timing smoke only — CI boxes are noisy; just require same order of magnitude
+    assert native_t < py_t * 4.0

@@ -1,0 +1,184 @@
+"""Model-variant coverage: sep-decoder backbone, uncertainty heads,
+two-stage inpainting, conditioned model, contrastive loss, age head,
+separable-matmul resampling equivalence."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from brainfm_tpu.config import AttrDict
+
+
+def _cfg(**over):
+    base = {
+        "task": {"T1": True, "segmentation": True, "pathology": True},
+        "generator": {"left_hemis_only": False, "size": [16, 16, 16]},
+        "losses": {"uncertainty": None, "image_grad": False},
+        "backbone": "unet3d", "f_maps": 8, "num_levels": 2, "num_groups": 8,
+        "layer_order": "gcl", "unit_feat": False, "task_f_maps": [8],
+        "label_list_segmentation_with_csf": [0, 14, 15, 16, 24, 77, 85],
+        "weights": {k: 1.0 for k in ("seg_ce", "seg_dice", "pathol_ce",
+                                     "pathol_dice", "image", "image_grad",
+                                     "contrastive", "age")},
+        "optimizer": "adamw", "lr": 1e-3, "weight_decay": 0.0,
+        "clip_max_norm": 0.0,
+        "contrastive_temperatures": {"alpha": 1.0, "beta": 1.0, "gamma": 1.0},
+    }
+    cfg = AttrDict.from_nested(base)
+    for k, v in over.items():
+        cfg[k] = AttrDict.from_nested(v) if isinstance(v, dict) else v
+    return cfg
+
+
+def test_sep_decoder_backbone(rng):
+    from brainfm_tpu.models import build_model
+
+    cfg = _cfg(backbone="unet3d_sep")
+    cfg, model = build_model(cfg)
+    x = jnp.asarray(rng.random((1, 16, 16, 16, 1)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(params, x)
+    assert "feat_normal" in out and "feat_pathology" in out
+    assert out["pathology"].shape == (1, 16, 16, 16, 1)
+    assert out["segmentation"].shape[-1] == 56
+
+
+def test_uncertainty_heads(rng):
+    from brainfm_tpu.models import build_model
+    from brainfm_tpu.models.build import apply_processors
+
+    cfg = _cfg(losses={"uncertainty": "gaussian", "image_grad": False})
+    cfg, model = build_model(cfg)
+    assert cfg.out_channels["T1"] == 2
+    x = jnp.asarray(rng.random((1, 16, 16, 16, 1)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    out = apply_processors(model.apply(params, x), cfg)
+    assert out["T1"].shape[-1] == 1
+    assert out["T1_sigma"].shape[-1] == 1
+
+
+def test_two_stage_inpaint(rng):
+    from brainfm_tpu.models.build import build_inpaint_model, twostage_forward
+
+    cfg = _cfg(backbone="unet3d+unet3d")
+    cfg, pm, tm = build_inpaint_model(cfg)
+    x = jnp.asarray(rng.random((1, 16, 16, 16, 1)), jnp.float32)
+    pp = pm.init(jax.random.PRNGKey(0), x)
+    tp = tm.init(jax.random.PRNGKey(1), jnp.concatenate([x, x], -1))
+    out = twostage_forward(pm, tm, pp, tp, x, cfg)
+    assert out["pathology"].shape == (1, 16, 16, 16, 1)
+    assert float(out["pathology"].min()) >= 0.0
+    assert float(out["pathology"].max()) <= 1.0
+    assert "T1" in out and "pathology" not in [k for k in out
+                                               if k.startswith("final")]
+
+
+def test_twostage_train_step(rng):
+    from brainfm_tpu.models.build import build_inpaint_model
+    from brainfm_tpu.models.criterion import make_criterion
+    from brainfm_tpu.train.step import (TrainState, build_optimizer,
+                                        make_twostage_train_step)
+
+    cfg = _cfg(backbone="unet3d+unet3d")
+    cfg, pm, tm = build_inpaint_model(cfg)
+    _, wd, loss_fn = make_criterion(cfg)
+    opt = build_optimizer(cfg)
+    size = (16, 16, 16)
+    x = jnp.asarray(rng.random((1, 2, *size, 1)), jnp.float32)
+    batch = {
+        "samples": {"input": x},
+        "targets": {
+            "T1": jnp.asarray(rng.random((1, 1, *size, 1)), jnp.float32),
+            "segmentation": jax.nn.one_hot(
+                jnp.asarray(rng.integers(0, 56, (1, 1, *size))), 56),
+            "pathology": jnp.asarray(
+                (rng.random((1, 1, *size, 1)) > 0.9).astype(np.float32)),
+        },
+    }
+    params = {"pathol": pm.init(jax.random.PRNGKey(0), x[0]),
+              "task": tm.init(jax.random.PRNGKey(1),
+                              jnp.concatenate([x[0], x[0]], -1))}
+    state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    step = make_twostage_train_step(pm, tm, cfg, wd, loss_fn, opt,
+                                    donate=False)
+    l0 = None
+    for _ in range(4):
+        state, m = step(state, batch, jnp.float32(1e-3), jnp.float32(0.0))
+        if l0 is None:
+            l0 = float(m["loss_total"])
+    assert float(m["loss_total"]) < l0
+    assert float(m["skipped"]) == 0.0
+
+
+def test_conditioned_model(rng):
+    from brainfm_tpu.models.build import build_conditioned_model
+
+    cfg = _cfg(condition="mask")
+    cfg, model = build_conditioned_model(cfg)
+    x = jnp.asarray(rng.random((1, 16, 16, 16, 1)), jnp.float32)
+    c = jnp.asarray(rng.random((1, 16, 16, 16, 1)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x, cond=c)
+    out = model.apply(params, x, cond=c)
+    assert "pathology" not in out
+    assert "T1" in out
+
+
+def test_contrastive_loss(rng):
+    from brainfm_tpu.models.criterion import make_criterion
+
+    cfg = _cfg(task={"contrastive": True, "T1": False, "segmentation": False,
+                     "pathology": False})
+    cfg.tasks = ["contrastive"]
+    cfg.n_labels = 7
+    names, wd, loss_fn = make_criterion(cfg)
+    assert names == ["contrastive"]
+    f = jnp.asarray(rng.random((2, 8, 8, 8, 4)), jnp.float32)
+    losses = loss_fn({"feat": [f]}, {}, {})
+    assert np.isfinite(float(losses["loss_contrastive"]))
+
+
+def test_age_head(rng):
+    from brainfm_tpu.models import build_model
+
+    cfg = _cfg(task={"T1": True, "age": True, "segmentation": False,
+                     "pathology": False},
+               generator={"left_hemis_only": False, "size": [32, 32, 32]})
+    cfg, model = build_model(cfg)
+    assert cfg.out_channels["age"] == -1
+    x = jnp.asarray(rng.random((2, 32, 32, 32, 1)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(params, x)
+    assert out["age"].shape == (2,)
+
+
+def test_separable_resample_matches_gather(rng):
+    from brainfm_tpu.ops.separable import separable_resample
+    from brainfm_tpu.synth.deform import zoom_from_effective
+
+    src = jnp.asarray(rng.random((20, 22, 24)), jnp.float32)
+    eff = jnp.asarray([13.0, 17.0, 19.0])
+    out_sizes = (28, 30, 26)
+    ref = zoom_from_effective(src, eff, out_sizes)
+    coords = []
+    for d, out in enumerate(out_sizes):
+        factor = out / eff[d]
+        delta = (1.0 - factor) / (2.0 * factor)
+        coords.append(jnp.clip(delta + jnp.arange(out) / factor,
+                               0.0, eff[d] - 1.0))
+    got = separable_resample(src, coords)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_separable_blur_matches_conv(rng):
+    from brainfm_tpu.ops.blur import gaussian_blur_3d
+    from brainfm_tpu.ops.separable import separable_blur_matmul
+
+    x = jnp.asarray(rng.random((16, 16, 16)), jnp.float32)
+    sig = jnp.asarray([1.5, 0.0, 2.0])
+    ref = gaussian_blur_3d(x, sig, max_sigma=4.0)
+    got = separable_blur_matmul(x, sig)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4,
+                               atol=1e-5)
