@@ -78,16 +78,27 @@ class Inferencer:
         return out
 
     def evaluate_tiled(self, vol, stride=(80, 80, 80),
-                       win_size=(160, 160, 160), run_postprocess: bool = True):
+                       win_size=(160, 160, 160), run_postprocess: bool = True,
+                       fused: bool = True, accum_dtype=jnp.bfloat16):
         """Whole-volume via tiles + overlap blending (parity:
-        demo_test.test_tile, scripts/demo_test.py:66-119)."""
+        demo_test.test_tile, scripts/demo_test.py:66-119). `fused` runs the
+        whole pass as one jitted scan (one dispatch instead of one per tile
+        per output — see tiles.tiled_apply_fused)."""
 
-        def apply_fn(tile):
-            out = self.model.apply(self.params, tile)
+        def apply_fn(params, tile):
+            out = self.model.apply(params, tile)
             out = apply_processors(out, self.cfg)
             return {k: v for k, v in out.items() if k != "feat"}
 
-        outs = tiled_apply(apply_fn, jnp.asarray(vol), stride, win_size)
+        vol = jnp.asarray(vol)
+        if fused:
+            from .tiles import tiled_apply_fused
+
+            outs = tiled_apply_fused(apply_fn, self.params, vol, stride,
+                                     win_size, accum_dtype=accum_dtype)
+        else:
+            outs = tiled_apply(lambda t: apply_fn(self.params, t), vol,
+                               stride, win_size)
         if run_postprocess:
             outs = {k: v[None] for k, v in outs.items()}
             outs = postprocess(outs, self.cfg,

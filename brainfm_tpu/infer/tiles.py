@@ -20,13 +20,11 @@ def tile_plan(shape, stride=(40, 40, 40), win_size=(160, 160, 160)):
     same greedy walk, end-clamped windows)."""
     axes = []
     for d in range(3):
-        start, end = 0, min(win_size[d], shape[d])
-        spans = [(start, end)]
-        while end < shape[d]:
-            start = min(end, shape[d] - stride[d])
-            end = min(start + stride[d], shape[d])
-            spans.append((start, end))
-        axes.append(spans)
+        win = min(win_size[d], shape[d])
+        starts = list(range(0, max(shape[d] - win, 0) + 1, stride[d]))
+        if starts[-1] != shape[d] - win:  # clamp final window to the end
+            starts.append(shape[d] - win)
+        axes.append([(s, s + win) for s in starts])
     tiles = []
     cnt = np.zeros(shape, np.float32)
     for xs, xe in axes[0]:
@@ -35,6 +33,59 @@ def tile_plan(shape, stride=(40, 40, 40), win_size=(160, 160, 160)):
                 tiles.append(((xs, xe), (ys, ye), (zs, ze)))
                 cnt[xs:xe, ys:ye, zs:ze] += 1
     return tiles, cnt
+
+
+def tiled_apply_fused(apply_fn, params, vol, stride=(80, 80, 80),
+                      win_size=(160, 160, 160), accum_dtype=jnp.bfloat16):
+    """Whole tiled pass as ONE jitted call: `lax.scan` over the static tile
+    offsets, per-tile forward, on-device accumulate + overlap blend.
+
+    The per-tile loop of the reference (scripts/demo_test.py:106-119) costs a
+    host round-trip per tile per output; on TPU behind a dispatch link every
+    extra call is pure latency, so the scan keeps the full pass on device.
+
+    `params` MUST be threaded as an argument (not a closure): closed-over
+    device arrays become jaxpr constants and are serialized into the HLO —
+    a f64 UNet's ~360 MB of weights blows the compile-RPC body limit.
+    `apply_fn(params, tile)` -> {name: (1, d, h, w, C)}.
+
+    `accum_dtype`: canvas accumulation dtype. bf16 (default) measured 10x
+    faster end-to-end than fp32 carries on v5e (2.0 s vs 19.4 s for
+    27x160^3 over 220^3 — fp32 canvases trip pathological copy behavior in
+    the scan); blending <=8 overlaps in bf16 costs ~0.4% relative error.
+    Pass jnp.float32 for exact reference-parity blending.
+    """
+    shape = vol.shape
+    tiles, cnt = tile_plan(shape, stride, win_size)
+    win_size = tuple(min(w, s) for w, s in zip(win_size, shape))
+    offs = jnp.asarray([[xs, ys, zs] for (xs, _), (ys, _), (zs, _) in tiles],
+                       jnp.int32)
+
+    # output channel structure discovered via shape-only tracing (no device work)
+    probe = jax.eval_shape(apply_fn, params,
+                           jax.ShapeDtypeStruct((1, *win_size, 1), vol.dtype))
+    names = sorted(probe.keys())
+
+    def fused(params, vol, offs):
+        def body(canvases, off):
+            tile = jax.lax.dynamic_slice(vol, off, win_size)
+            out = apply_fn(params, tile[None, ..., None])
+            new = {}
+            for name in names:
+                cur = jax.lax.dynamic_slice(
+                    canvases[name], (*off, 0),
+                    (*win_size, canvases[name].shape[-1]))
+                new[name] = jax.lax.dynamic_update_slice(
+                    canvases[name], cur + out[name][0].astype(accum_dtype),
+                    (*off, 0))
+            return new, 0
+        canvases = {n: jnp.zeros(shape + (probe[n].shape[-1],), accum_dtype)
+                    for n in names}
+        canvases, _ = jax.lax.scan(body, canvases, offs)
+        cntj = jnp.asarray(cnt)[..., None]
+        return {n: canvases[n].astype(probe[n].dtype) / cntj for n in names}
+
+    return jax.jit(fused)(params, vol, offs)
 
 
 def tiled_apply(apply_fn, vol, stride=(80, 80, 80), win_size=(160, 160, 160),

@@ -205,6 +205,32 @@ def build_inpaint_model(cfg, compute_dtype=jnp.float32):
     return cfg, pathol_model, task_model
 
 
+def build_pathol_critic(compute_dtype=jnp.float32, f_maps: int = 64,
+                        num_levels: int = 5):
+    """Frozen implicit-pathology critic (parity: build_pathol_model,
+    joiner.py:33-41 + PatholSeg :90-133): UNet3D f64 L5 + 1-channel
+    pathology head, applied to predicted AND target images; gradients flow
+    through the images but never into the critic."""
+    backbone = UNet3D(f_maps=f_maps, num_levels=num_levels, layer_order="gcl",
+                      num_groups=min(8, f_maps), compute_dtype=compute_dtype)
+    head = TaskHead((f_maps,), {"pathology": 1}, compute_dtype=compute_dtype)
+    return Joiner(backbone, head)
+
+
+def implicit_pathol_outputs(critic, critic_params, outputs, targets,
+                            image_key: str):
+    """Attach implicit_pathol_pred/orig (parity: PatholSeg.forward,
+    joiner.py:116-133). critic weights are stop_gradient'ed — backprop
+    reaches the main model only through its predicted image."""
+    cp = jax.lax.stop_gradient(critic_params)
+    out = dict(outputs)
+    pred = critic.apply(cp, outputs[image_key])["pathology"]
+    orig = critic.apply(cp, targets[image_key])["pathology"]
+    out["implicit_pathol_pred"] = jax.nn.sigmoid(pred)
+    out["implicit_pathol_orig"] = jax.lax.stop_gradient(jax.nn.sigmoid(orig))
+    return out
+
+
 def twostage_forward(pathol_model, task_model, pathol_params, task_params,
                      x, cfg):
     """Chained two-stage forward (parity: train_one_epoch_twostage,

@@ -117,6 +117,15 @@ def make_criterion(cfg) -> tuple[list, dict, Callable]:
                 loss_names += ["pathol_ce", "pathol_dice"]
                 weight_dict["loss_pathol_ce"] = float(weights_cfg.pathol_ce)
                 weight_dict["loss_pathol_dice"] = float(weights_cfg.pathol_dice)
+        if losses_cfg.get("implicit_pathol"):
+            # frozen-critic supervision on predicted images
+            # (parity: PatholSeg losses, criterion.py:126-173)
+            loss_names += ["implicit_pathol_ce", "implicit_pathol_dice"]
+            weight_dict["loss_implicit_pathol_ce"] = float(
+                weights_cfg.get("implicit_pathol_ce", weights_cfg.pathol_ce))
+            weight_dict["loss_implicit_pathol_dice"] = float(
+                weights_cfg.get("implicit_pathol_dice",
+                                weights_cfg.pathol_dice))
 
     def image_loss(out, tgt, sigma=None, weights=1.0):
         if sigma is not None and reg_loss is not None:
@@ -177,6 +186,22 @@ def make_criterion(cfg) -> tuple[list, dict, Callable]:
                 inter = jnp.sum(p * t, axis=_SPATIAL)
                 union = jnp.clip(jnp.sum(p + t, axis=_SPATIAL), 1e-5, None)
                 losses["loss_pathol_dice"] = jnp.sum(1.0 - 2.0 * inter / union) / S
+            elif name == "implicit_pathol_ce":
+                if "implicit_pathol_pred" not in outputs:
+                    continue
+                p = jnp.clip(outputs["implicit_pathol_pred"], 1e-5, None)
+                losses["loss_implicit_pathol_ce"] = jnp.mean(
+                    -jnp.sum(jnp.log(p) * outputs["implicit_pathol_orig"],
+                             axis=-1))
+            elif name == "implicit_pathol_dice":
+                if "implicit_pathol_pred" not in outputs:
+                    continue
+                p = outputs["implicit_pathol_pred"]
+                t_ = outputs["implicit_pathol_orig"]
+                inter = jnp.sum(p * t_, axis=_SPATIAL)
+                union = jnp.clip(jnp.sum(p + t_, axis=_SPATIAL), 1e-5, None)
+                losses["loss_implicit_pathol_dice"] = jnp.sum(
+                    1.0 - 2.0 * inter / union) / S
             elif name == "distance":
                 losses["loss_distance"] = image_loss(outputs["distance"],
                                                      targets["distance"])

@@ -1,0 +1,242 @@
+"""Host-side dataset layer: registry, path resolution, training stream.
+
+Mirrors the reference's Generator L3 surface — the dataset registry with
+per-dataset roots/modalities/layout (/root/reference/Generator/constants.py:
+26-259 `dataset_setups`), split-file subject resolution and age table
+(`prepare_paths`, Generator/datasets.py:63-120), the pathology path pools
+(constants.py:266-275), and the `build_datasets` factory
+(Generator/__init__.py:10-21) — re-designed for the TPU pipeline: subjects
+are decoded once into a resident `SubjectBank` (native C++ codec when built)
+and the jitted `synth_item` replaces the Dataset `__getitem__`.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+import jax
+
+from .engine import SubjectBank, build_knobs_stack, synth_item
+from .params import SynthStatic
+from .sampler import WeightedSubjectSampler, choose_modality
+
+# Per-dataset layout (parity: dataset_setups, constants.py:26-259). `root`
+# is joined onto gen_cfg.data_root at resolve time — the reference hard-codes
+# cluster paths; here layouts are relocatable.
+DATASET_SETUPS: Dict[str, dict] = {
+    "ADHD": {
+        "root": "adhd200_crop", "pathology_type": None,
+        "modalities": ["T1"],
+        "paths": {"Gen": "label_maps_generation", "T1": "T1",
+                  "segmentation": "label_maps_segmentation"},
+    },
+    "HCP": {
+        "root": "hcp_crop", "pathology_type": None,
+        "modalities": ["T1", "T2"],
+        "paths": {"Gen": "label_maps_generation", "T1": "T1", "T2": "T2",
+                  "segmentation": "label_maps_segmentation"},
+    },
+    "AIBL": {
+        "root": "aibl_crop", "pathology_type": None,
+        "modalities": ["T1", "T2", "FLAIR"],
+        "paths": {"Gen": "label_maps_generation", "T1": "T1", "T2": "T2",
+                  "FLAIR": "FLAIR",
+                  "segmentation": "label_maps_segmentation"},
+    },
+    "OASIS": {
+        "root": "oasis3", "pathology_type": None,
+        "modalities": ["T1", "CT"],
+        "paths": {"Gen": "label_maps_generation", "T1": "T1", "CT": "CT",
+                  "segmentation": "label_maps_segmentation"},
+    },
+    "ADNI": {
+        "root": "adni", "pathology_type": None,
+        "modalities": ["T1"],
+        "paths": {"Gen": "label_maps_generation", "T1": "T1",
+                  "segmentation": "label_maps_segmentation"},
+    },
+    "ADNI3": {
+        "root": "adni3", "pathology_type": None,
+        "modalities": ["T1", "FLAIR"],
+        "paths": {"Gen": "label_maps_generation", "T1": "T1",
+                  "FLAIR": "FLAIR",
+                  "segmentation": "label_maps_segmentation"},
+    },
+    "ATLAS": {
+        "root": "atlas", "pathology_type": "stroke",
+        "modalities": ["T1"],
+        "paths": {"Gen": "label_maps_generation", "T1": "T1",
+                  "segmentation": "label_maps_segmentation",
+                  "pathology": "pathology_maps",
+                  "pathology_prob": "pathology_probs"},
+    },
+    "ISLES": {
+        "root": "isles2022", "pathology_type": "stroke",
+        "modalities": ["T1", "FLAIR"],
+        "paths": {"Gen": "label_maps_generation", "T1": "T1",
+                  "FLAIR": "FLAIR",
+                  "segmentation": "label_maps_segmentation",
+                  "pathology": "pathology_maps",
+                  "pathology_prob": "pathology_probs"},
+    },
+}
+
+
+def pathology_pool(data_root: str, setups=DATASET_SETUPS):
+    """Glob the stroke-lesion probability pools
+    (parity: constants.py:266-275)."""
+    paths, probs = [], []
+    for name, d in setups.items():
+        if d.get("pathology_type") == "stroke" and "pathology" in d["paths"]:
+            base = os.path.join(data_root, d["root"])
+            for ext in ("*.nii.gz", "*.nii"):
+                paths += sorted(glob.glob(
+                    os.path.join(base, d["paths"]["pathology"], ext)))
+                probs += sorted(glob.glob(
+                    os.path.join(base, d["paths"]["pathology_prob"], ext)))
+    return paths, probs
+
+
+def _read_split(split_root: str, split: str, dataset: str):
+    """Subject names for one dataset from a shared split file
+    (parity: prepare_paths, datasets.py:86-95)."""
+    fn = os.path.join(split_root, split + ".txt")
+    if not os.path.exists(fn):
+        return []
+    with open(fn) as f:
+        names = [ln.strip() for ln in f if ln.strip()]
+    return [n for n in names if os.path.basename(n).startswith(dataset)]
+
+
+def _read_ages(split_root: str):
+    """(parity: datasets.py:100-112)"""
+    fn = os.path.join(split_root, "participants_age.txt")
+    ages = {}
+    if os.path.exists(fn):
+        with open(fn) as f:
+            for ln in f:
+                parts = ln.strip().split()
+                if len(parts) == 2:
+                    ages[parts[0]] = float(parts[1])
+    return ages
+
+
+class SynthDataset:
+    """One dataset's resident training stream: subject bank + modality
+    roulette + jitted synthesis. The `get(idx, key)` call is the functional
+    twin of BaseGen/BrainIDGen `__getitem__` (datasets.py:638-681, 700-757).
+    """
+
+    def __init__(self, name: str, gen_cfg, tasks, static: SynthStatic,
+                 bank_shape=(192, 192, 192), input_prob: Optional[dict] = None,
+                 debug_subjects: int = 0):
+        self.name = name
+        self.setup = DATASET_SETUPS.get(name, DATASET_SETUPS["ADHD"])
+        self.tasks = tuple(tasks)
+        self.static = static
+        self.bank = SubjectBank(bank_shape)
+        self.input_prob = input_prob or {}
+        self._rng = np.random.default_rng(abs(hash(name)) % (2 ** 31))
+        self._knobs = {}
+
+        data_root = getattr(gen_cfg, "data_root", None)
+        split_root = getattr(gen_cfg, "split_root", None)
+        if data_root and split_root and os.path.isdir(data_root):
+            self._load_real(data_root, split_root,
+                            getattr(gen_cfg, "split", "train"))
+        for i in range(debug_subjects):
+            self.bank.add_debug_subject(seed=i)
+
+    def _load_real(self, data_root, split_root, split):
+        base = os.path.join(data_root, self.setup["root"])
+        names = _read_split(split_root, split, self.name)
+        ages = _read_ages(split_root) if "age" in self.tasks else {}
+        p = self.setup["paths"]
+        for n in names:
+            sid = os.path.basename(n).split(".")[0]
+            paths = {}
+            gen_dir = os.path.join(base, p["Gen"])
+            cands = glob.glob(os.path.join(gen_dir, sid + "*"))
+            if not cands:
+                continue
+            paths["gen"] = cands[0]
+            for key, sub in (("seg", p.get("segmentation")),
+                             ("T1", p.get("T1")), ("T2", p.get("T2")),
+                             ("FLAIR", p.get("FLAIR")), ("CT", p.get("CT"))):
+                if sub:
+                    c = glob.glob(os.path.join(base, sub, sid + "*"))
+                    if c:
+                        paths[key] = c[0]
+            self.bank.add_from_files(paths, age=ages.get(sid))
+
+    def __len__(self):
+        return len(self.bank)
+
+    def get(self, idx: int, key):
+        """One training item for subject idx: (target, samples[S,...])."""
+        subject = self.bank.to_device(idx)
+        available = set(subject.keys())
+        mode = choose_modality(self._rng, self.input_prob, available)
+        if mode != "synth":
+            subject = dict(subject)
+            subject["image"] = subject[mode]
+        if mode not in self._knobs:
+            self._knobs[mode] = build_knobs_stack(self.static, mode)
+        return synth_item(key, subject, self.static, self.tasks, mode,
+                          self._knobs[mode])
+
+
+class ConcatStream:
+    """Probability-weighted multi-dataset mixing
+    (parity: ConcatDataset, Generator/utils.py:18-29 + the per-iteration
+    dataset roulette of MetricLogger.log_every, utils/misc.py:771)."""
+
+    def __init__(self, datasets: Dict[str, SynthDataset], probs=None,
+                 seed: int = 0):
+        self.names = list(datasets)
+        self.datasets = datasets
+        sizes = [len(datasets[n]) for n in self.names]
+        self.sampler = WeightedSubjectSampler(
+            sizes, probs, seed=seed,
+            process_index=jax.process_index())
+
+    def epoch(self, epoch_idx: int, count: int, base_key):
+        """Yield (dataset_name, target, samples) for `count` items."""
+        self.sampler.set_epoch(epoch_idx)
+        for i, (d, s) in enumerate(self.sampler.sample(count)):
+            key = jax.random.fold_in(base_key, epoch_idx * count + i)
+            name = self.names[d]
+            target, samples = self.datasets[name].get(s, key)
+            yield name, target, samples
+
+
+def build_datasets(gen_cfg, tasks, device=None) -> Dict[str, SynthDataset]:
+    """Dataset factory (parity: build_datasets, Generator/__init__.py:10-21:
+    registry {'default','brain_id'} -> dataset per configured name)."""
+    size = tuple(gen_cfg.size)
+    generator_name = getattr(gen_cfg, "generator", "brain_id")
+    all_samples = int(getattr(gen_cfg, "all_samples", 1) or 1)
+    mild = int(getattr(gen_cfg, "mild_samples", all_samples) or all_samples)
+    if generator_name == "default":
+        all_samples, mild = 1, 1
+    static = SynthStatic(size=size, all_samples=all_samples,
+                         mild_samples=mild)
+
+    names = list(getattr(gen_cfg, "dataset_names", None) or ["ADHD"])
+    probs = getattr(gen_cfg, "dataset_probs", None)
+    input_prob = getattr(gen_cfg, "input_prob", None)
+    debug = 1 if not getattr(gen_cfg, "data_root", None) else 0
+
+    out = {}
+    for n in names:
+        ip = dict(vars(input_prob[n])) if isinstance(input_prob, dict) and \
+            n in input_prob else (input_prob or {})
+        out[n] = SynthDataset(n, gen_cfg, tasks, static,
+                              input_prob=ip if isinstance(ip, dict) else {},
+                              debug_subjects=debug)
+    out["_concat"] = ConcatStream(out, probs)
+    return out

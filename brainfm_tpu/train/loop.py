@@ -46,7 +46,7 @@ def make_batch(keys, subject, scfg, tasks, input_mode, knobs):
 def train(cfg, model, weight_dict, loss_fn, bank, out_dir: str,
           itr_per_epoch: int = 100, batch_items: int = 1,
           input_modes=("synth",), seed: int = 0, log_itr: int = 10,
-          resume: str | None = None):
+          resume: str | None = None, vis_itr: int = 0):
     """Run the full training loop. `bank`: SubjectBank; `cfg`: processed
     trainer config (with .generator etc.)."""
     os.makedirs(out_dir, exist_ok=True)
@@ -94,10 +94,26 @@ def train(cfg, model, weight_dict, loss_fn, bank, out_dir: str,
                 logger.info(f"epoch {epoch} it {it}/{itr_per_epoch} "
                             f"lr {float(lr):.2e} "
                             f"loss {host_metrics['loss_total']:.4f}")
+            if vis_itr and gstep % vis_itr == 0:
+                # periodic montage (parity: engine.py:167-179)
+                from ..models.build import apply_processors
+                from ..utils.visualizer import TaskVisualizer
+
+                outs = apply_processors(
+                    model.apply(state.params, batch["samples"]["input"][0]),
+                    cfg)
+                TaskVisualizer(os.path.join(out_dir, "vis")).visualize(
+                    gstep, {k: v[0] for k, v in batch["samples"].items()},
+                    {k: v[0] for k, v in batch["targets"].items()},
+                    {k: v for k, v in outs.items() if k != "feat"})
         stats = {f"train_{k}": m.global_avg for k, m in mlog.meters.items()}
         stats.update({"epoch": epoch, "epoch_time": time.time() - t_ep})
         write_log_line(os.path.join(out_dir, "log.txt"), stats)
         save_checkpoint(os.path.join(out_dir, "ckp"),
                         (epoch + 1) * itr_per_epoch, state,
                         extra={"epoch": epoch})
+    from ..utils.logging import plot_loss
+
+    plot_loss(os.path.join(out_dir, "log.txt"),
+              keys=[k for k in stats if k.startswith("train_loss")])
     return state

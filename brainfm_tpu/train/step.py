@@ -60,16 +60,25 @@ def build_optimizer(cfg):
 
 
 def make_train_step(model, cfg, weight_dict, loss_fn: Callable, optimizer,
-                    donate: bool = True):
+                    donate: bool = True, critic=None,
+                    critic_image_key: str = "T1"):
     """Returns jitted `step(state, batch, lr, wd) -> (state, metrics)`.
 
     batch: {'samples': {...leading S axis...}, 'targets': {... leading 1...},
-            'cond': optional}.
+            'cond': optional, 'critic_params': optional frozen critic weights
+            (threaded as data, never as closure constants)}.
+    `critic`: a built pathol critic model (models.build.build_pathol_critic)
+    enabling the implicit-pathology losses (PatholSeg parity).
     """
 
-    def per_item(params, samples, targets, cond):
+    def per_item(params, samples, targets, cond, critic_params):
         outputs = model.apply(params, samples["input"], cond=cond)
         outputs = apply_processors(outputs, cfg)
+        if critic is not None and critic_params is not None:
+            from ..models.build import implicit_pathol_outputs
+
+            outputs = implicit_pathol_outputs(critic, critic_params, outputs,
+                                              targets, critic_image_key)
         return loss_fn(outputs, targets, samples)
 
     def loss_and_metrics(params, batch):
@@ -78,11 +87,14 @@ def make_train_step(model, cfg, weight_dict, loss_fn: Callable, optimizer,
         samples = batch["samples"]
         targets = batch["targets"]
         cond = batch.get("cond")
+        critic_params = batch.get("critic_params")
         if cond is None:
-            losses = jax.vmap(lambda s, t: per_item(params, s, t, None))(
+            losses = jax.vmap(lambda s, t: per_item(params, s, t, None,
+                                                    critic_params))(
                 samples, targets)
         else:
-            losses = jax.vmap(lambda s, t, c: per_item(params, s, t, c))(
+            losses = jax.vmap(lambda s, t, c: per_item(params, s, t, c,
+                                                       critic_params))(
                 samples, targets, cond)
         losses = {k: jnp.mean(v) for k, v in losses.items()}
         total = weighted_total(losses, weight_dict)

@@ -160,3 +160,36 @@ def read_log(path):
             if line:
                 out.append(json.loads(line))
     return out
+
+
+def plot_loss(log_path, out_path=None, keys=None):
+    """Loss curves from the JSON-line log (parity: utils/misc.py:1406-1420 +
+    scripts/train.py:229-235). Returns the figure path, or None when a real
+    matplotlib isn't importable (e.g. stubbed in hermetic test envs)."""
+    import matplotlib
+
+    if not hasattr(matplotlib, "use"):  # stubbed module
+        return None
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    if not hasattr(plt, "subplots"):
+        return None
+
+    stats = read_log(log_path)
+    if not stats:
+        return None
+    keys = keys or [k for k in stats[0] if k.startswith("loss")]
+    xs = [s.get("epoch", i) for i, s in enumerate(stats)]
+    fig, ax = plt.subplots(figsize=(8, 5))
+    for k in keys:
+        ys = [s.get(k) for s in stats]
+        if any(y is not None for y in ys):
+            ax.plot(xs, ys, label=k)
+    ax.set_xlabel("epoch")
+    ax.set_yscale("log")
+    ax.legend(fontsize=7)
+    out_path = out_path or str(log_path) + ".png"
+    fig.savefig(out_path, dpi=110, bbox_inches="tight")
+    plt.close(fig)
+    return out_path

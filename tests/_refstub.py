@@ -49,8 +49,18 @@ def stub_reference_deps():
     tv = ensure("torchvision")
     tv.transforms = ensure("torchvision.transforms")
     tv.utils = ensure("torchvision.utils", make_grid=None, save_image=None)
-    ensure("PIL", Image=None)
-    ensure("PIL.Image")
-    m = ensure("matplotlib")
-    m.use = lambda *a, **k: None
-    ensure("matplotlib.pyplot")
+    # only stub what this env genuinely lacks — PIL and matplotlib are real
+    # here, and shadowing them breaks our own plot/visualizer code
+    import importlib.util
+
+    if importlib.util.find_spec("PIL") is None:
+        ensure("PIL", Image=None)
+        ensure("PIL.Image")
+    if importlib.util.find_spec("matplotlib") is None:
+        m = ensure("matplotlib")
+        m.use = lambda *a, **k: None
+        ensure("matplotlib.pyplot")
+    else:
+        import matplotlib
+
+        matplotlib.use("Agg")  # reference code may import pyplot at import time

@@ -1,0 +1,91 @@
+"""Implicit-pathology critic: frozen-weights supervision through predicted
+images (parity: PatholSeg, joiner.py:90-133 + criterion.py:126-173)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from brainfm_tpu.config import AttrDict
+from brainfm_tpu.models.build import (build_model, build_pathol_critic,
+                                      implicit_pathol_outputs)
+from brainfm_tpu.models.criterion import make_criterion
+
+
+def _cfg():
+    return AttrDict.from_nested({
+        "task": {"T1": True, "pathology": True},
+        "generator": {"left_hemis_only": False, "size": [16, 16, 16]},
+        "losses": {"uncertainty": None, "image_grad": False,
+                   "implicit_pathol": True},
+        "backbone": "unet3d", "f_maps": 8, "num_levels": 2, "num_groups": 8,
+        "layer_order": "gcl", "unit_feat": False, "task_f_maps": [8],
+        "label_list_segmentation_with_csf": [0, 14, 15, 16, 24, 77, 85],
+        "weights": {"pathol_ce": 1.0, "pathol_dice": 1.0, "image": 1.0,
+                    "implicit_pathol_ce": 0.5, "implicit_pathol_dice": 0.5},
+        "all_samples": 1,
+    })
+
+
+def test_critic_grads_flow_to_model_not_critic(rng):
+    cfg = _cfg()
+    cfg, model = build_model(cfg)
+    names, weight_dict, loss_fn = make_criterion(cfg)
+    assert "loss_implicit_pathol_ce" in weight_dict
+    assert weight_dict["loss_implicit_pathol_ce"] == 0.5
+
+    critic = build_pathol_critic(f_maps=8, num_levels=2)
+    x = jnp.asarray(rng.random((1, 16, 16, 16, 1)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    cparams = critic.init(jax.random.PRNGKey(1), x)
+
+    targets = {"T1": jnp.asarray(rng.random((1, 16, 16, 16, 1)), jnp.float32),
+               "pathology": jnp.zeros((1, 16, 16, 16, 1))}
+    samples = {"input": x}
+
+    def loss(params, cparams):
+        from brainfm_tpu.models.build import apply_processors
+
+        out = apply_processors(model.apply(params, x), cfg)
+        out = implicit_pathol_outputs(critic, cparams, out, targets, "T1")
+        losses = loss_fn(out, targets, samples)
+        return losses["loss_implicit_pathol_ce"] + \
+            losses["loss_implicit_pathol_dice"]
+
+    g_model, g_critic = jax.grad(loss, argnums=(0, 1))(params, cparams)
+    gm = sum(float(jnp.sum(jnp.abs(l))) for l in jax.tree.leaves(g_model))
+    gc = sum(float(jnp.sum(jnp.abs(l))) for l in jax.tree.leaves(g_critic))
+    assert gm > 0.0      # supervision reaches the main model
+    assert gc == 0.0     # critic is frozen
+
+
+def test_train_step_with_critic(rng):
+    from brainfm_tpu.train.step import (TrainState, build_optimizer,
+                                        make_train_step)
+
+    cfg = _cfg()
+    cfg.optimizer, cfg.lr, cfg.weight_decay, cfg.clip_max_norm = \
+        "adamw", 1e-3, 0.0, 0.0
+    cfg, model = build_model(cfg)
+    names, weight_dict, loss_fn = make_criterion(cfg)
+    critic = build_pathol_critic(f_maps=8, num_levels=2)
+    opt = build_optimizer(cfg)
+
+    x = jnp.asarray(rng.random((1, 16, 16, 16, 1)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    cparams = critic.init(jax.random.PRNGKey(1), x)
+    state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+
+    step = make_train_step(model, cfg, weight_dict, loss_fn, opt,
+                           donate=False, critic=critic)
+    batch = {
+        "samples": {"input": x[None]},
+        "targets": {"T1": x[None],
+                    "pathology": jnp.zeros((1, 1, 16, 16, 16, 1))},
+        "critic_params": cparams,
+    }
+    state2, metrics = step(state, batch, 1e-3, 0.0)
+    assert "loss_implicit_pathol_ce" in metrics
+    assert np.isfinite(float(metrics["loss_total"]))
+    assert float(metrics["skipped"]) == 0.0

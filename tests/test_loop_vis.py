@@ -1,0 +1,41 @@
+"""End-to-end training loop: epochs, checkpointing, visualization montages,
+loss-curve plot (parity: scripts/train.py orchestration + engine vis_itr)."""
+
+import glob
+import os
+
+from brainfm_tpu.config import AttrDict
+from brainfm_tpu.models import build_model
+from brainfm_tpu.models.criterion import make_criterion
+from brainfm_tpu.synth.engine import SubjectBank
+from brainfm_tpu.train.loop import train
+
+
+def test_loop_with_vis_and_plot(tmp_path):
+    cfg = AttrDict.from_nested({
+        "task": {"T1": True, "segmentation": True},
+        "generator": {"left_hemis_only": False, "size": [16, 16, 16],
+                      "max_rotation": 10, "max_shear": 0.1, "max_scaling": 0.1,
+                      "nonlinear_transform": True},
+        "losses": {"uncertainty": None, "image_grad": False},
+        "backbone": "unet3d", "f_maps": 8, "num_levels": 2, "num_groups": 8,
+        "layer_order": "gcl", "unit_feat": False, "task_f_maps": [8],
+        "label_list_segmentation_with_csf": [0, 14, 15, 16, 24, 77, 85],
+        "weights": {"seg_ce": 1.0, "seg_dice": 1.0, "image": 1.0},
+        "optimizer": "adamw", "lr": 1e-3, "weight_decay": 0.0,
+        "clip_max_norm": 1.0, "n_epochs": 2, "all_samples": 1,
+        "mild_samples": 1,
+    })
+    cfg, model = build_model(cfg)
+    names, weight_dict, loss_fn = make_criterion(cfg)
+    bank = SubjectBank(bank_shape=(24, 24, 24))
+    bank.add_debug_subject(seed=0, extent=(20, 20, 20))
+
+    out = str(tmp_path / "run")
+    train(cfg, model, weight_dict, loss_fn, bank, out, itr_per_epoch=2,
+          batch_items=1, seed=0, log_itr=1, vis_itr=2)
+
+    assert os.path.exists(os.path.join(out, "log.txt"))
+    assert len(glob.glob(os.path.join(out, "ckp", "*"))) >= 1
+    assert len(glob.glob(os.path.join(out, "vis", "vis_*.png"))) >= 1
+    assert os.path.exists(os.path.join(out, "log.txt.png"))
