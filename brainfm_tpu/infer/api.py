@@ -92,10 +92,18 @@ class Inferencer:
 
         vol = jnp.asarray(vol)
         if fused:
-            from .tiles import tiled_apply_fused
+            from .tiles import make_tiled_fused
 
-            outs = tiled_apply_fused(apply_fn, self.params, vol, stride,
-                                     win_size, accum_dtype=accum_dtype)
+            key = (vol.shape, tuple(stride), tuple(win_size),
+                   str(accum_dtype))
+            if not hasattr(self, "_tiled_cache"):
+                self._tiled_cache = {}
+            if key not in self._tiled_cache:
+                self._tiled_cache[key] = make_tiled_fused(
+                    apply_fn, self.params, vol.shape, vol.dtype, stride,
+                    win_size, accum_dtype)
+            fn, offs = self._tiled_cache[key]
+            outs = fn(self.params, vol, offs)
         else:
             outs = tiled_apply(lambda t: apply_fn(self.params, t), vol,
                                stride, win_size)

@@ -35,10 +35,13 @@ def tile_plan(shape, stride=(40, 40, 40), win_size=(160, 160, 160)):
     return tiles, cnt
 
 
-def tiled_apply_fused(apply_fn, params, vol, stride=(80, 80, 80),
-                      win_size=(160, 160, 160), accum_dtype=jnp.bfloat16):
+def make_tiled_fused(apply_fn, params, shape, dtype=jnp.float32,
+                     stride=(80, 80, 80), win_size=(160, 160, 160),
+                     accum_dtype=jnp.bfloat16):
     """Whole tiled pass as ONE jitted call: `lax.scan` over the static tile
     offsets, per-tile forward, on-device accumulate + overlap blend.
+    Returns (jitted_fn, offs); call as `jitted_fn(params, vol, offs)` —
+    reusable across volumes of the same shape without re-tracing.
 
     The per-tile loop of the reference (scripts/demo_test.py:106-119) costs a
     host round-trip per tile per output; on TPU behind a dispatch link every
@@ -55,7 +58,7 @@ def tiled_apply_fused(apply_fn, params, vol, stride=(80, 80, 80),
     the scan); blending <=8 overlaps in bf16 costs ~0.4% relative error.
     Pass jnp.float32 for exact reference-parity blending.
     """
-    shape = vol.shape
+    shape = tuple(shape)
     tiles, cnt = tile_plan(shape, stride, win_size)
     win_size = tuple(min(w, s) for w, s in zip(win_size, shape))
     offs = jnp.asarray([[xs, ys, zs] for (xs, _), (ys, _), (zs, _) in tiles],
@@ -63,7 +66,7 @@ def tiled_apply_fused(apply_fn, params, vol, stride=(80, 80, 80),
 
     # output channel structure discovered via shape-only tracing (no device work)
     probe = jax.eval_shape(apply_fn, params,
-                           jax.ShapeDtypeStruct((1, *win_size, 1), vol.dtype))
+                           jax.ShapeDtypeStruct((1, *win_size, 1), dtype))
     names = sorted(probe.keys())
 
     def fused(params, vol, offs):
@@ -85,7 +88,17 @@ def tiled_apply_fused(apply_fn, params, vol, stride=(80, 80, 80),
         cntj = jnp.asarray(cnt)[..., None]
         return {n: canvases[n].astype(probe[n].dtype) / cntj for n in names}
 
-    return jax.jit(fused)(params, vol, offs)
+    return jax.jit(fused), offs
+
+
+def tiled_apply_fused(apply_fn, params, vol, stride=(80, 80, 80),
+                      win_size=(160, 160, 160), accum_dtype=jnp.bfloat16):
+    """One-shot convenience over make_tiled_fused. For repeated volumes of
+    the same shape, hold on to make_tiled_fused's callable instead —
+    re-tracing the 27-tile scan costs seconds of host time per call."""
+    fn, offs = make_tiled_fused(apply_fn, params, vol.shape, vol.dtype,
+                                stride, win_size, accum_dtype)
+    return fn(params, vol, offs)
 
 
 def tiled_apply(apply_fn, vol, stride=(80, 80, 80), win_size=(160, 160, 160),
