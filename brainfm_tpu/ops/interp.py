@@ -23,9 +23,13 @@ def trilinear3d(vol, ii, jj, kk, default=0.0):
     """Trilinear sample of `vol` (D,H,W) or (D,H,W,C) at float coords.
 
     Out-of-bounds (ii<=0 or ii>D-1, etc. — reference convention
-    Generator/utils.py:141) yields `default`.
+    Generator/utils.py:141) yields `default` — a scalar, or a (C,) vector of
+    per-channel defaults for channelled volumes (one fused gather replaces
+    C separate warps; the gather's index handling dominates its cost on TPU,
+    so channel stacking amortizes it ~4x).
     Returns shape coords.shape (+ (C,) if vol has channels).
     """
+    default = jnp.asarray(default, jnp.float32)
     squeeze = vol.ndim == 3
     if squeeze:
         vol = vol[..., None]

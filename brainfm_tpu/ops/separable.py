@@ -15,17 +15,26 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def linear_resample_matrix(coords, n_in: int):
+def linear_resample_matrix(coords, n_in: int, upper=None, mask_oob: bool = False):
     """(n_out, n_in) row-stochastic linear interpolation matrix sampling at
-    `coords` (traced, clamped to [0, n_in-1])."""
-    c = jnp.clip(coords, 0.0, n_in - 1)
+    `coords` (traced). `upper`: traced effective last valid index (defaults
+    n_in-1) — rows clamp there, supporting static buffers with traced
+    effective extents. `mask_oob=True` zeroes rows whose coordinate falls
+    outside the strict (0, upper] bound — the fast_3D_interp_torch masking
+    convention (Generator/utils.py:141)."""
+    up = jnp.asarray(n_in - 1 if upper is None else upper, jnp.float32)
+    ok = (coords > 0) & (coords <= up) if mask_oob else None
+    c = jnp.clip(coords, 0.0, up)
     f = jnp.floor(c)
     w = (c - f)[:, None]
     cols = jnp.arange(n_in)[None, :]
     fcol = f[:, None]
     lo = (cols == fcol).astype(jnp.float32)
-    hi = (cols == jnp.minimum(fcol + 1, n_in - 1)).astype(jnp.float32)
-    return lo * (1.0 - w) + hi * w
+    hi = (cols == jnp.minimum(fcol + 1, up)).astype(jnp.float32)
+    W = lo * (1.0 - w) + hi * w
+    if mask_oob:
+        W = W * ok[:, None]
+    return W
 
 
 def gaussian_matrix(sigma, n: int, truncate: float = 3.0):

@@ -68,15 +68,16 @@ def resample_resolution(key, img, cfg, setup):
     new_size = jnp.maximum(new_size, 1.0)
     factors = new_size / size
     delta = (1.0 - factors) / (2.0 * factors)
-    coords = []
+    # axis-separable -> three MXU matmuls; rows outside the strict (0, n-1]
+    # bound are zeroed (fast_3D_interp semantics), which composes across
+    # axes because the masked default is 0
+    from ..ops.separable import apply_axis_matrix, linear_resample_matrix
+
+    small = blurred
     for d, out in enumerate(cfg.size):
         v = delta[d] + jnp.arange(out) / factors[d]
-        coords.append(v)
-    ii, jj, kk = jnp.meshgrid(*coords, indexing="ij")
-    # fast_3D_interp semantics: strictly-positive lower bound masks to 0
-    from ..ops.interp import trilinear3d
-
-    small = trilinear3d(blurred, ii, jj, kk)
+        W = linear_resample_matrix(v, small.shape[d], mask_oob=True)
+        small = apply_axis_matrix(small, W, d)
     return small, new_size
 
 

@@ -44,44 +44,7 @@ def _deform(vol, grid, mode="linear", default=0.0):
     return trilinear3d(vol, xx2, yy2, zz2, default)
 
 
-def _target_image(vol, grid, flip, hemis_mask=None):
-    """(parity: read_and_deform_image, Generator/utils.py:324-343)"""
-    v = jnp.nan_to_num(vol)
-    if hemis_mask is not None:
-        v = jnp.where(hemis_mask == 0, 0.0, v)
-    idef = _deform(v, grid)
-    idef = idef - jnp.min(idef)
-    idef = idef / jnp.maximum(jnp.max(idef), 1e-12)
-    return _flip0(idef, flip)[..., None]
 
-
-def _target_ct(vol, grid, flip, hemis_mask=None):
-    """(parity: read_and_deform_CT, utils.py:345-364 — scale 1/1000)"""
-    v = jnp.nan_to_num(vol) / 1000.0
-    if hemis_mask is not None:
-        v = jnp.where(hemis_mask == 0, 0.0, v)
-    return _flip0(_deform(v, grid), flip)[..., None]
-
-
-def _target_distance(dist, grid, flip, sfd, cfg, left_only):
-    """(parity: read_and_deform_distance, utils.py:366-392): per-channel
-    deform with default=max, mean 128 / scale 20, /= sfd, clamp."""
-    chans = []
-    n = 2 if left_only else 4
-    for c in range(n):
-        v = (jnp.nan_to_num(dist[..., c]) - 128.0) / 20.0
-        chans.append(_deform(v, grid, default=jnp.max(v)))
-    if not left_only:
-        lp, lw, rp, rw = chans
-        lp2 = jnp.where(flip > 0, jnp.flip(rp, 0), lp)
-        rp2 = jnp.where(flip > 0, jnp.flip(lp, 0), rp)
-        lw2 = jnp.where(flip > 0, jnp.flip(rw, 0), lw)
-        rw2 = jnp.where(flip > 0, jnp.flip(lw, 0), rw)
-        out = jnp.stack([lp2, lw2, rp2, rw2], axis=-1)
-    else:
-        out = jnp.stack(chans, axis=-1)
-    out = out / sfd
-    return jnp.clip(out, -cfg.max_surf_distance, cfg.max_surf_distance)
 
 
 def _target_segmentation(seg, grid, flip, lut, vflip, hemis_mask=None,
@@ -101,16 +64,6 @@ def _target_segmentation(seg, grid, flip, lut, vflip, hemis_mask=None,
     flipped = jnp.flip(sd, axis=0)[..., vflip]
     return jnp.where(flip > 0, flipped, sd)
 
-
-def _target_registration(reg, grid, flip):
-    """(parity: read_and_deform_registration, utils.py:458-471 —
-    scale 1/10000, x-coordinate sign flip under sagittal flip)"""
-    chans = [_deform(jnp.nan_to_num(reg[..., c]) / 10000.0, grid)
-             for c in range(3)]
-    rx = jnp.where(flip > 0, -jnp.flip(chans[0], 0), chans[0])
-    ry = jnp.where(flip > 0, jnp.flip(chans[1], 0), chans[1])
-    rz = jnp.where(flip > 0, jnp.flip(chans[2], 0), chans[2])
-    return jnp.stack([rx, ry, rz], axis=-1)
 
 
 def _target_pathology(key, subject, grid, setup, cfg):
@@ -139,8 +92,15 @@ def _target_pathology(key, subject, grid, setup, cfg):
     return p[..., None], pdef[..., None]
 
 
-def make_targets(key, subject, grid, setup, sfd, cfg, tasks):
-    """Deform every requested target (parity: datasets.py:716-724 loop)."""
+def make_targets(key, subject, grid, setup, sfd, cfg, tasks, extra=None):
+    """Deform every requested target (parity: datasets.py:716-724 loop).
+
+    TPU design: all trilinear targets are stacked channel-wise into ONE
+    fused gather (per-channel out-of-bounds defaults via trilinear3d's
+    vector default) — the gather's index handling dominates its runtime, so
+    one C-channel warp beats C single warps ~4x. Per-target scaling/flip
+    semantics are applied before/after exactly as in the reference
+    processors (Generator/utils.py:324-471)."""
     flip = setup["flip"]
     left = cfg.left_hemis_only
     labels = LABELS_LEFT if left else LABELS_EXTRACEREBRAL
@@ -152,33 +112,100 @@ def make_targets(key, subject, grid, setup, sfd, cfg, tasks):
         s = lut[jnp.clip(subject["seg"].astype(jnp.int32), 0, lut.shape[0] - 1)]
         hemis_mask = ((s > 0) & (subject["reg"][..., 0] < 0)).astype(jnp.int32)
 
-    target = {}
+    def hmask(v):
+        return jnp.where(hemis_mask == 0, 0.0, v) if hemis_mask is not None \
+            else v
+
+    # ---- assemble the channel stack: (name, prepared volume, oob default)
+    stack, defaults, spans = [], [], {}
+    n_dist = 2 if left else 4
+
+    def push(name, vol, default):
+        spans[name] = (len(stack), len(stack) + 1)
+        stack.append(vol)
+        defaults.append(default)
+
     for t in ("T1", "T2", "FLAIR"):
         if t in tasks and t in subject:
-            target[t] = _target_image(subject[t], grid, flip, hemis_mask)
+            push(t, hmask(jnp.nan_to_num(subject[t])), 0.0)
             dm = subject.get(f"{t}_DM")
             if dm is not None:
-                d = jnp.clip(_deform(jnp.nan_to_num(dm), grid), 0.0, None)
+                push(f"{t}_DM", jnp.nan_to_num(dm), 0.0)
+    if "CT" in tasks and "CT" in subject:
+        push("CT", hmask(jnp.nan_to_num(subject["CT"]) / 1000.0), 0.0)
+    if "distance" in tasks and "dist" in subject:
+        first = len(stack)
+        for c in range(n_dist):
+            v = (jnp.nan_to_num(subject["dist"][..., c]) - 128.0) / 20.0
+            stack.append(v)
+            defaults.append(jnp.max(v))
+        spans["dist"] = (first, len(stack))
+    if "registration" in tasks and "reg" in subject:
+        first = len(stack)
+        for c in range(3):
+            stack.append(jnp.nan_to_num(subject["reg"][..., c]) / 10000.0)
+            defaults.append(0.0)
+        spans["reg"] = (first, len(stack))
+
+    warped = {}
+    extra_warped = None
+    n_extra = 0 if extra is None else extra.shape[-1]
+    if stack or n_extra:
+        big = jnp.stack(stack, axis=-1) if stack else None
+        if n_extra:
+            big = extra if big is None else \
+                jnp.concatenate([big, extra], axis=-1)
+        dvec = jnp.concatenate(
+            [jnp.stack([jnp.asarray(d, jnp.float32) for d in defaults])
+             if defaults else jnp.zeros((0,)), jnp.zeros((n_extra,))])
+        wall = _deform(big, grid, default=dvec)
+        warped = {n: wall[..., a:b] for n, (a, b) in spans.items()}
+        if n_extra:
+            extra_warped = wall[..., len(stack):]
+
+    target = {}
+    for t in ("T1", "T2", "FLAIR"):
+        if t in warped:
+            idef = warped[t][..., 0]
+            idef = idef - jnp.min(idef)
+            idef = idef / jnp.maximum(jnp.max(idef), 1e-12)
+            target[t] = _flip0(idef, flip)[..., None]
+            if f"{t}_DM" in warped:
+                d = jnp.clip(warped[f"{t}_DM"][..., 0], 0.0, None)
                 d = d / jnp.maximum(jnp.max(d), 1e-12)
                 target[f"{t}_DM"] = _flip0(d, flip)[..., None]
-    if "CT" in tasks and "CT" in subject:
-        target["CT"] = _target_ct(subject["CT"], grid, flip, hemis_mask)
+    if "CT" in warped:
+        target["CT"] = _flip0(warped["CT"][..., 0], flip)[..., None]
     if "segmentation" in tasks and "seg" in subject:
         target["segmentation"] = _target_segmentation(
             subject["seg"], grid, flip, lut, vflip, hemis_mask,
             cfg.deform_one_hots)
-    if "distance" in tasks and "dist" in subject:
-        target["distance"] = _target_distance(subject["dist"], grid, flip,
-                                              sfd, cfg, left)
-    if "registration" in tasks and "reg" in subject:
-        target["registration"] = _target_registration(subject["reg"], grid, flip)
+    if "dist" in warped:
+        chans = [warped["dist"][..., c] for c in range(n_dist)]
+        if not left:
+            lp, lw, rp, rw = chans
+            lp2 = jnp.where(flip > 0, jnp.flip(rp, 0), lp)
+            rp2 = jnp.where(flip > 0, jnp.flip(lp, 0), rp)
+            lw2 = jnp.where(flip > 0, jnp.flip(rw, 0), lw)
+            rw2 = jnp.where(flip > 0, jnp.flip(lw, 0), rw)
+            out = jnp.stack([lp2, lw2, rp2, rw2], axis=-1)
+        else:
+            out = jnp.stack(chans, axis=-1)
+        target["distance"] = jnp.clip(out / sfd, -cfg.max_surf_distance,
+                                      cfg.max_surf_distance)
+    if "reg" in warped:
+        rx0, ry0, rz0 = (warped["reg"][..., c] for c in range(3))
+        rx = jnp.where(flip > 0, -jnp.flip(rx0, 0), rx0)
+        ry = jnp.where(flip > 0, jnp.flip(ry0, 0), ry0)
+        rz = jnp.where(flip > 0, jnp.flip(rz0, 0), rz0)
+        target["registration"] = jnp.stack([rx, ry, rz], axis=-1)
     if "pathology" in tasks:
         p, pprob = _target_pathology(key, subject, grid, setup, cfg)
         target["pathology"] = p
         target["pathology_prob"] = pprob
     if "age" in tasks and "age" in subject:
         target["age"] = subject["age"]
-    return target, hemis_mask
+    return target, hemis_mask, extra_warped
 
 
 def _finish_sample(key, idef, cfg, setup, knobs, tasks, target,
@@ -209,14 +236,58 @@ def _finish_sample(key, idef, cfg, setup, knobs, tasks, target,
     return sample
 
 
-def _synth_sample(key, subject, grid, cfg, setup, knobs, tasks, target):
-    """One synthetic-contrast sample (parity: generate_sample,
-    datasets.py:357-412)."""
-    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
-    mus, sigmas = sample_contrast_lut(k1, cfg.ct_prob, setup["photo_mode"])
+def _synth_volumes(key, subject, cfg, setup, tasks):
+    """All S synthetic contrasts, subject-frame, channel-stacked (re-design
+    of generate_sample, datasets.py:357-376): the S intra-subject samples
+    share the deformation grid, so their synthesized volumes — plus the
+    cerebral-masked copies the pathology keep-mask needs — join the target
+    channel stack and ride ONE fused gather (make_targets `extra`); index
+    handling dominates the gather's cost on TPU.
+
+    Returns (chans (D,H,W,S or 2S), pathol_dir (S,))."""
+    S = cfg.all_samples
     gen = subject["gen"]
-    syn_subj = synth_intensities(k2, gen, mus, sigmas)
-    syn = _deform(syn_subj, grid)
+    kl, kn = jax.random.split(key)
+    luts = [sample_contrast_lut(jax.random.fold_in(kl, i), cfg.ct_prob,
+                                setup["photo_mode"]) for i in range(S)]
+    mus = jnp.stack([m for m, _ in luts], axis=-1)      # (256, S)
+    sigmas = jnp.stack([s for _, s in luts], axis=-1)   # (256, S)
+
+    g = jnp.where(gen == 77, 2, gen)
+    gr = jnp.clip(jnp.round(g).astype(jnp.int32), 0, 255)
+    noise = jax.random.normal(kn, (*gr.shape, S))
+    syn_subj = jnp.maximum(mus[gr] + sigmas[gr] * noise, 0.0)  # (D,H,W,S)
+
+    # pathology direction from tissue contrast (datasets.py:390-409)
+    wm = ((gr == 2) | (gr == 41))[..., None]
+    gm = ((gr != 0)[..., None]) & ~wm
+    wm_mean = jnp.sum(syn_subj * wm, axis=(0, 1, 2)) / \
+        jnp.maximum(jnp.sum(wm), 1)
+    gm_mean = jnp.sum(syn_subj * gm, axis=(0, 1, 2)) / \
+        jnp.maximum(jnp.sum(gm), 1)
+    pathol_dir = (gm_mean > wm_mean).astype(jnp.float32)  # (S,)
+
+    chans = syn_subj
+    if "pathology" in tasks:
+        masked = jnp.where((gr == 0)[..., None], 0.0, syn_subj)
+        chans = jnp.concatenate([chans, masked], axis=-1)
+    return chans, pathol_dir
+
+
+def _split_synth_warped(warped, S, tasks):
+    """Split the warped synth channels back into per-sample volumes +
+    pathology keep-masks."""
+    syn_w = [warped[..., i] for i in range(S)]
+    keep = [(warped[..., S + i] != 0).astype(jnp.float32)[..., None]
+            for i in range(S)] if "pathology" in tasks else None
+    return syn_w, keep
+
+
+def _synth_sample(key, syn, keep_i, pathol_dir_i, subject, cfg, setup, knobs,
+                  tasks, target):
+    """Per-sample tail of generate_sample (datasets.py:379-412): mix with
+    real contrasts, pathology keep-mask, encode+augment."""
+    k3, k4, k5 = jax.random.split(key, 3)
 
     # random linear mix with real contrasts (datasets.py:379-388)
     if cfg.mix_synth_prob > 0:
@@ -232,23 +303,13 @@ def _synth_sample(key, subject, grid, cfg, setup, knobs, tasks, target):
                 mixed = mixed + v[i] * _flip0(target[t][..., 0], setup["flip"])
         syn = jnp.where(mix, mixed, syn)
 
-    # pathology direction from tissue contrast (datasets.py:390-409)
-    gr = jnp.where(gen == 77, 2, gen).astype(jnp.int32)
-    wm = (gr == 2) | (gr == 41)
-    gm = (gr != 0) & ~wm
-    wm_mean = jnp.sum(syn_subj * wm) / jnp.maximum(jnp.sum(wm), 1)
-    gm_mean = jnp.sum(syn_subj * gm) / jnp.maximum(jnp.sum(gm), 1)
-    pathol_dir = (gm_mean > wm_mean).astype(jnp.float32)
-
     if "pathology" in tasks:
-        cerebral = _deform(jnp.where(gr == 0, 0.0, syn_subj), grid)
-        keep = (cerebral != 0).astype(jnp.float32)[..., None]
-        target["pathology"] = target["pathology"] * keep
-        target["pathology_prob"] = target["pathology_prob"] * keep
+        target["pathology"] = target["pathology"] * keep_i
+        target["pathology_prob"] = target["pathology_prob"] * keep_i
 
     syn = jnp.maximum(syn, 0.0)
     return _finish_sample(k5, syn, cfg, setup, knobs, tasks, target,
-                          pathol_dir, "synth"), target
+                          pathol_dir_i, "synth"), target
 
 
 def _real_sample(key, subject, grid, cfg, setup, knobs, tasks, target,
@@ -285,17 +346,25 @@ def _synth_item_impl(key, subject_vals, subject_keys, cfg: SynthStatic,
                                       need_inverse=("surface" in tasks))
     grid = deform_grid(cfg, shp, A, c2, F)
 
-    target, hemis_mask = make_targets(k_tgt, subject, grid, setup, sfd, cfg,
-                                      tasks)
+    S = cfg.all_samples
+    extra = None
+    if input_mode == "synth":
+        k_syn = jax.random.fold_in(k_samp, 10_000)
+        extra, pathol_dir = _synth_volumes(k_syn, subject, cfg, setup, tasks)
+
+    target, hemis_mask, extra_warped = make_targets(
+        k_tgt, subject, grid, setup, sfd, cfg, tasks, extra=extra)
 
     samples = []
-    S = cfg.all_samples
+    if input_mode == "synth":
+        syn_w, keep = _split_synth_warped(extra_warped, S, tasks)
     for i in range(S):
         ki = jax.random.fold_in(k_samp, i)
         knobs = jax.tree.map(lambda a: a[i], knobs_stack)
         if input_mode == "synth":
-            sample, target = _synth_sample(ki, subject, grid, cfg, setup,
-                                           knobs, tasks, target)
+            sample, target = _synth_sample(
+                ki, syn_w[i], keep[i] if keep else None, pathol_dir[i],
+                subject, cfg, setup, knobs, tasks, target)
         else:
             sample = _real_sample(ki, subject, grid, cfg, setup, knobs, tasks,
                                   target, input_mode, hemis_mask)
