@@ -8,7 +8,7 @@ from .blur import gaussian_blur_3d, gaussian_kernel_1d
 from .perlin import perlin_noise_3d, fractal_noise_3d, shape_3d, velocity_3d
 from .fd import gradient_f, gradient_b, gradient_c, curl_3d
 from .pde import advect_rhs, apply_neumann_bc
-from .ode import odeint
+from .ode import odeint, odeint_adjoint, odeint_masked_final
 
 __all__ = [
     "BOUND_CODES", "apply_bound", "spline_weight", "spline_grad",
@@ -19,5 +19,6 @@ __all__ = [
     "gaussian_blur_3d", "gaussian_kernel_1d",
     "perlin_noise_3d", "fractal_noise_3d", "shape_3d", "velocity_3d",
     "gradient_f", "gradient_b", "gradient_c", "curl_3d",
-    "advect_rhs", "apply_neumann_bc", "odeint",
+    "advect_rhs", "apply_neumann_bc", "odeint", "odeint_adjoint",
+    "odeint_masked_final",
 ]

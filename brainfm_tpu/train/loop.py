@@ -72,6 +72,16 @@ def train(cfg, model, weight_dict, loss_fn, bank, out_dir: str,
     step_fn = make_train_step(model, cfg, weight_dict, loss_fn, optimizer)
     knobs = {m: build_knobs_stack(scfg, m) for m in set(input_modes)}
 
+    # weighted subject sampling + modality roulette (parity:
+    # DistributedWeightedSampler utils/misc.py:523 + read_input
+    # datasets.py:563-589)
+    from ..synth.sampler import WeightedSubjectSampler, choose_modality
+
+    sampler = WeightedSubjectSampler([len(bank)], seed=seed,
+                                     process_index=jax.process_index())
+    input_prob = dict(cfg.get("input_prob") or {}) if hasattr(cfg, "get") \
+        else {}
+
     key = jax.random.PRNGKey(seed + 1)
     n_epochs = int(cfg.n_epochs)
     rng_host = np.random.default_rng(seed)
@@ -79,11 +89,22 @@ def train(cfg, model, weight_dict, loss_fn, bank, out_dir: str,
     for epoch in range(start_epoch, n_epochs):
         mlog = MetricLogger()
         t_ep = time.time()
+        sampler.set_epoch(epoch)
+        subj_plan = sampler.sample(itr_per_epoch)
         for it in range(itr_per_epoch):
             gstep = epoch * itr_per_epoch + it
             key, *item_keys = jax.random.split(key, batch_items + 1)
-            mode = input_modes[rng_host.integers(len(input_modes))]
-            subj = bank.to_device(rng_host.integers(len(bank)))
+            subj = bank.to_device(subj_plan[it][1])
+            if input_prob:
+                avail = set(bank.subjects[subj_plan[it][1]].keys())
+                mode = choose_modality(rng_host, input_prob, avail)
+                if mode != "synth" and mode in subj:
+                    subj = dict(subj)
+                    subj["image"] = subj[mode]
+                if mode not in knobs:
+                    knobs[mode] = build_knobs_stack(scfg, mode)
+            else:
+                mode = input_modes[rng_host.integers(len(input_modes))]
             batch = make_batch(item_keys, subj, scfg, tasks, mode, knobs[mode])
             lr = jnp.float32(lr_sched[min(gstep, len(lr_sched) - 1)])
             wd = jnp.float32(wd_sched[min(gstep, len(wd_sched) - 1)])

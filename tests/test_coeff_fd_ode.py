@@ -121,3 +121,27 @@ def test_odeint_dopri5_differentiable():
 
     g = jax.grad(loss)(1.0)
     np.testing.assert_allclose(float(g), -np.exp(-1.0), rtol=1e-2)
+
+
+def test_odeint_adjoint_grad_matches_direct():
+    """odeint_adjoint (checkpointed) must match odeint in value and grad."""
+    import jax
+    import jax.numpy as jnp
+    from brainfm_tpu.ops.ode import odeint, odeint_adjoint
+
+    def f(t, y):
+        return -0.7 * y + jnp.sin(t)
+
+    y0 = jnp.asarray([1.0, 2.0, -0.5])
+    t = jnp.linspace(0.0, 1.0, 6)
+
+    def loss_direct(y0):
+        return jnp.sum(odeint(f, y0, t, method="rk4")[-1] ** 2)
+
+    def loss_adj(y0):
+        return jnp.sum(odeint_adjoint(f, y0, t, method="rk4")[-1] ** 2)
+
+    v1, g1 = jax.value_and_grad(loss_direct)(y0)
+    v2, g2 = jax.value_and_grad(loss_adj)(y0)
+    assert jnp.allclose(v1, v2, rtol=1e-6)
+    assert jnp.allclose(g1, g2, rtol=1e-6)
