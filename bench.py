@@ -87,6 +87,73 @@ def main():
     print(f"# tiled inference: {dt * 1e3:.0f} ms / 220^3 volume "
           f"(27 tiles of 160^3)", file=sys.stderr)
 
+    # tertiary: training step at the single-chip crop (128^3 — the 160^3
+    # flagship crop needs >16 GB HBM even with remat; it trains spatially
+    # sharded across the mesh, see parallel/spatial.py)
+    try:
+        import gc
+
+        # release the inference model/canvases and subject bank before
+        # allocating the training state — they don't fit HBM together
+        del inf, out, bank, subj, _t, _s
+        gc.collect()
+        from brainfm_tpu.models import build_model
+        from brainfm_tpu.models.criterion import make_criterion
+        from brainfm_tpu.train.step import (TrainState, build_optimizer,
+                                            make_train_step)
+
+        tcfg = AttrDict.from_nested({
+            "task": {"T1": True, "segmentation": True, "distance": True,
+                     "registration": True, "bias_field": True},
+            "generator": {"left_hemis_only": False, "size": [128, 128, 128]},
+            "losses": {"uncertainty": None, "image_grad": True,
+                       "registration_grad": True, "bias_field_log_type": "l2"},
+            "weights": {k: 1.0 for k in ("seg_ce", "seg_dice", "image",
+                                         "image_grad", "bias_field_log",
+                                         "distance", "registration",
+                                         "registration_grad")},
+            "backbone": "unet3d", "f_maps": 64, "num_levels": 5,
+            "num_groups": 8, "layer_order": "gcl", "unit_feat": False,
+            "task_f_maps": [64], "max_surf_distance": 3.0,
+            "label_list_segmentation_with_csf": [0, 14, 15, 16, 24, 77, 85],
+            "optimizer": "adamw", "lr": 1e-4, "weight_decay": 0.0,
+            "clip_max_norm": 1.0, "all_samples": 1, "remat": True,
+        })
+        tcfg, tmodel = build_model(tcfg, compute_dtype=jnp.bfloat16)
+        _, twd, tloss = make_criterion(tcfg)
+        topt = build_optimizer(tcfg)
+        rng0 = np.random.default_rng(1)
+        ts = (128, 128, 128)
+        xt = jnp.asarray(rng0.random((1, *ts, 1)), jnp.float32)
+        tparams = tmodel.init(jax.random.PRNGKey(0), xt)
+        tstate = TrainState(tparams, topt.init(tparams),
+                            jnp.zeros((), jnp.int32))
+        tstep = make_train_step(tmodel, tcfg, twd, tloss, topt, donate=True)
+        tb = {
+            "samples": {"input": xt[None],
+                        "bias_field_log": jnp.zeros((1, 1, *ts, 1))},
+            "targets": {
+                "T1": jnp.asarray(rng0.random((1, 1, *ts, 1)), jnp.float32),
+                "segmentation": jax.nn.one_hot(jnp.asarray(
+                    rng0.integers(0, 56, (1, 1, *ts)), jnp.int32), 56),
+                "distance": jnp.asarray(rng0.random((1, 1, *ts, 4)),
+                                        jnp.float32),
+                "registration": jnp.asarray(rng0.random((1, 1, *ts, 3)),
+                                            jnp.float32),
+            },
+        }
+        tstate, m = tstep(tstate, tb, 1e-4, 0.0)
+        np.asarray(m["loss_total"])
+        t0 = time.time()
+        for _ in range(3):
+            tstate, m = tstep(tstate, tb, 1e-4, 0.0)
+        np.asarray(m["loss_total"])
+        print(f"# train step: {(time.time()-t0)/3*1e3:.0f} ms @128^3 joint "
+              f"f64 L5 (remat, bf16)", file=sys.stderr)
+    except Exception as e:
+        print(f"# train step bench skipped: {type(e).__name__}",
+              file=sys.stderr)
+
     # measured reference line (BASELINE.md): torch reference UNet3D f64 L5 on
     # this host's CPU = 185 s / 160^3 tile -> 0.0002 vol/s for the same
     # 27-tile 220^3 pass. No GPU is measurable here.

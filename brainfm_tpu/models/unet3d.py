@@ -127,17 +127,19 @@ class _EncoderStack(nn.Module):
     pool_kernel: int
     compute_dtype: jnp.dtype
     is_3d: bool = True
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x):
+        block = nn.remat(DoubleConv) if self.remat else DoubleConv
         feats = []
         for i, out_ch in enumerate(self.f_maps):
             if i > 0:
                 x = _max_pool(x, self.pool_kernel, self.is_3d)
-            x = DoubleConv(out_ch, encoder=True, order=self.order,
-                           num_groups=self.num_groups,
-                           compute_dtype=self.compute_dtype, is_3d=self.is_3d,
-                           name=f"encoder{i}")(x)
+            x = block(out_ch, encoder=True, order=self.order,
+                      num_groups=self.num_groups,
+                      compute_dtype=self.compute_dtype, is_3d=self.is_3d,
+                      name=f"encoder{i}")(x)
             feats.insert(0, x)
         return feats  # deepest first (parity: model.py:171-181)
 
@@ -149,19 +151,21 @@ class _DecoderStack(nn.Module):
     compute_dtype: jnp.dtype
     is_3d: bool = True
     prefix: str = "decoder"
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, skips):
+        block = nn.remat(DoubleConv) if self.remat else DoubleConv
         outs = []
         rev = list(reversed(self.f_maps))
         for i, out_ch in enumerate(rev[1:]):
             enc = skips[i]
             x = _nearest_upsample_to(x, enc.shape[1:-1])
             x = jnp.concatenate([enc, x], axis=-1)
-            x = DoubleConv(out_ch, encoder=False, order=self.order,
-                           num_groups=self.num_groups,
-                           compute_dtype=self.compute_dtype, is_3d=self.is_3d,
-                           name=f"{self.prefix}{i}")(x)
+            x = block(out_ch, encoder=False, order=self.order,
+                      num_groups=self.num_groups,
+                      compute_dtype=self.compute_dtype, is_3d=self.is_3d,
+                      name=f"{self.prefix}{i}")(x)
             outs.append(x)
         return x, outs
 
@@ -176,13 +180,16 @@ class UNet3D(nn.Module):
     is_unit_vector: bool = False
     compute_dtype: jnp.dtype = jnp.float32
     is_3d: bool = True
+    remat: bool = False  # rematerialize blocks: O(levels) backward memory
 
     def setup(self):
         fm = feature_maps(self.f_maps, self.num_levels)
         self.encoders = _EncoderStack(fm, self.layer_order, self.num_groups, 2,
-                                      self.compute_dtype, self.is_3d)
+                                      self.compute_dtype, self.is_3d,
+                                      remat=self.remat)
         self.decoders = _DecoderStack(fm, self.layer_order, self.num_groups,
-                                      self.compute_dtype, self.is_3d)
+                                      self.compute_dtype, self.is_3d,
+                                      remat=self.remat)
 
     def __call__(self, x):
         feats = self.get_feature(x)
@@ -212,17 +219,20 @@ class UNet3DSep(nn.Module):
     num_groups: int = 8
     is_unit_vector: bool = False
     compute_dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     def setup(self):
         fm = feature_maps(self.f_maps, self.num_levels)
         self.encoders = _EncoderStack(fm, self.layer_order, self.num_groups, 2,
-                                      self.compute_dtype)
+                                      self.compute_dtype, remat=self.remat)
         self.decoders_normal = _DecoderStack(fm, self.layer_order,
                                              self.num_groups, self.compute_dtype,
-                                             prefix="decoder_normal")
+                                             prefix="decoder_normal",
+                                             remat=self.remat)
         self.decoders_pathol = _DecoderStack(fm, self.layer_order,
                                              self.num_groups, self.compute_dtype,
-                                             prefix="decoder_pathol")
+                                             prefix="decoder_pathol",
+                                             remat=self.remat)
 
     def __call__(self, x):
         feats = self.get_feature(x)

@@ -17,6 +17,28 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(coordinator: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None):
+    """Multi-host initialization (parity: init_distributed_mode,
+    utils/misc.py:437-453 + mpu.run, utils/multiprocessing.py:8-58 — the
+    entire spawn/NCCL layer collapses to one call per host).
+
+    With no arguments, JAX auto-detects the TPU pod topology from the
+    environment; explicit args cover DCN/GPU-style launches. Safe to call
+    on single-host (no-op when the env provides no cluster)."""
+    try:
+        if coordinator:
+            jax.distributed.initialize(coordinator_address=coordinator,
+                                       num_processes=num_processes,
+                                       process_id=process_id)
+        else:
+            jax.distributed.initialize()
+    except Exception:
+        pass  # single-process / already initialized
+    return jax.process_index(), jax.process_count()
+
+
 def make_mesh(data: int | None = None, space: int = 1, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
