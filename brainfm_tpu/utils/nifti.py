@@ -162,10 +162,16 @@ def save_nifti(path: str, data: np.ndarray, affine: np.ndarray | None = None):
     hdr[344:348] = b"n+1\x00"
 
     payload = np.asarray(data, order="F").tobytes(order="F")
-    opener = gzip.open if path.endswith(".gz") else open
-    with opener(path, "wb") as f:
-        f.write(bytes(hdr))
-        f.write(payload)
+    if path.endswith(".gz"):
+        # level 1: gzip.open's default level-9 costs ~30-60 s of host CPU
+        # per 40 MB fp32 volume; level 1 is ~10x faster within ~10% size
+        with gzip.open(path, "wb", compresslevel=1) as f:
+            f.write(bytes(hdr))
+            f.write(payload)
+    else:
+        with open(path, "wb") as f:
+            f.write(bytes(hdr))
+            f.write(payload)
 
 
 def MRIread(path: str, im_only: bool = False, dtype: str = "float"):

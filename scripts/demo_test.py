@@ -39,6 +39,9 @@ def main():
     ap.add_argument("--gen_cfg", default=None)
     ap.add_argument("--train_cfg", default=None)
     ap.add_argument("--atlas", default="/root/reference/files/gca.mgz")
+    ap.add_argument("--exact", action="store_true",
+                    help="fp32 highest-precision matmuls (reference parity);"
+                         " default is bf16 compute (~6x faster)")
     args = ap.parse_args()
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -48,7 +51,9 @@ def main():
         os.path.join(root, "cfgs/trainer/default_val.yaml"),
         args.gen_cfg, args.train_cfg])
 
-    inf = Inferencer(cfg, ckpt_path=args.ckp_path)
+    inf = Inferencer(cfg, ckpt_path=args.ckp_path,
+                     compute_dtype=jnp.float32 if args.exact else jnp.bfloat16,
+                     exact=args.exact)
     im, aff, crop_start, orig_shp = prepare_image(args.img_path,
                                                   list(args.win))
     os.makedirs(args.save_dir, exist_ok=True)
