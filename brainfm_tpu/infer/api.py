@@ -36,20 +36,26 @@ class Inferencer:
 
             self.params = import_checkpoint(ckpt_path)
         elif ckpt_path:
-            from ..train.checkpoint import load_checkpoint, latest_checkpoint
-            from ..train.step import TrainState
+            from ..train.checkpoint import latest_checkpoint
 
-            path = ckpt_path if os.path.isdir(ckpt_path) else \
-                latest_checkpoint(ckpt_path)
-            dummy = self._init_params()
-            state = TrainState(dummy["params"] if "params" in dummy else dummy,
-                               (), jnp.zeros((), jnp.int32))
+            # accept either a concrete ckpt_* directory or the ckp/ root
+            # that save_checkpoint writes them into
+            path = ckpt_path
+            if os.path.isdir(ckpt_path) and not os.path.basename(
+                    ckpt_path).startswith("ckpt_"):
+                path = latest_checkpoint(ckpt_path)
+            if not path or not os.path.isdir(path):
+                raise FileNotFoundError(
+                    f"no checkpoint found under {ckpt_path}")
             import orbax.checkpoint as ocp
 
+            # restore untargeted: the saved tree is a full TrainState
+            # ({params, opt_state, step}); a params-only target makes
+            # StandardCheckpointer raise on the tree mismatch
             ckptr = ocp.StandardCheckpointer()
-            restored = ckptr.restore(os.path.abspath(path),
-                                     {"params": state.params})
-            self.params = {"params": restored["params"]}
+            restored = ckptr.restore(os.path.abspath(path))
+            tree = restored.get("params", restored)
+            self.params = tree if "params" in tree else {"params": tree}
         else:
             self.params = self._init_params()
         self._jitted = jax.jit(self._forward)
@@ -105,8 +111,7 @@ class Inferencer:
             fn, offs = self._tiled_cache[key]
             outs = fn(self.params, vol, offs)
         else:
-            outs = tiled_apply(lambda t: apply_fn(self.params, t), vol,
-                               stride, win_size)
+            outs = tiled_apply(apply_fn, self.params, vol, stride, win_size)
         if run_postprocess:
             outs = {k: v[None] for k, v in outs.items()}
             outs = postprocess(outs, self.cfg,

@@ -101,11 +101,15 @@ def tiled_apply_fused(apply_fn, params, vol, stride=(80, 80, 80),
     return fn(params, vol, offs)
 
 
-def tiled_apply(apply_fn, vol, stride=(80, 80, 80), win_size=(160, 160, 160),
-                out_channels: dict | None = None, batch_tiles: int = 1):
-    """Run `apply_fn(tile[B,D,H,W,1]) -> {name: [B,D,H,W,C]}` over the tile
-    grid of `vol` (D,H,W) and blend with overlap-count averaging.
+def tiled_apply(apply_fn, params, vol, stride=(80, 80, 80),
+                win_size=(160, 160, 160), out_channels: dict | None = None,
+                batch_tiles: int = 1):
+    """Run `apply_fn(params, tile[B,D,H,W,1]) -> {name: [B,D,H,W,C]}` over
+    the tile grid of `vol` (D,H,W) and blend with overlap-count averaging
+    (the per-tile-dispatch fallback; prefer make_tiled_fused).
 
+    `params` is threaded as an argument for the same reason as in
+    make_tiled_fused — closed-over weights serialize into the HLO.
     Identical-size tiles share one compiled executable; uneven edge tiles
     are zero-padded to the window and cropped back, so there is exactly ONE
     compilation for the whole volume.
@@ -116,16 +120,13 @@ def tiled_apply(apply_fn, vol, stride=(80, 80, 80), win_size=(160, 160, 160),
     outs: dict = {}
     cntj = jnp.asarray(cnt)
 
-    def run(tile_batch):
-        return apply_fn(tile_batch)
-
-    runj = jax.jit(run)
+    runj = jax.jit(apply_fn)
 
     for (xs, xe), (ys, ye), (zs, ze) in tiles:
         sub = vol[xs:xe, ys:ye, zs:ze]
         pad = [(0, win_size[d] - sub.shape[d]) for d in range(3)]
         padded = jnp.pad(sub, pad)
-        out = runj(padded[None, ..., None])
+        out = runj(params, padded[None, ..., None])
         for name, val in out.items():
             if name not in outs:
                 outs[name] = jnp.zeros(shape + (val.shape[-1],), val.dtype)

@@ -101,9 +101,13 @@ def pathology_pool(data_root: str, setups=DATASET_SETUPS):
     return paths, probs
 
 
-def _read_split(split_root: str, split: str, dataset: str):
+def _read_split(split_root: str, split: str, dataset: str,
+                age_task: bool = False):
     """Subject names for one dataset from a shared split file
-    (parity: prepare_paths, datasets.py:86-95)."""
+    (parity: prepare_paths, datasets.py:86-95; the '_age' suffix when the
+    age task is on, datasets.py:86-87)."""
+    if age_task:
+        split = split + "_age"
     fn = os.path.join(split_root, split + ".txt")
     if not os.path.exists(fn):
         return []
@@ -151,9 +155,23 @@ class SynthDataset:
         for i in range(debug_subjects):
             self.bank.add_debug_subject(seed=i)
 
+        # real stroke-lesion probability pool for healthy-subject pathology
+        # encoding (parity: pathology_prob_paths, constants.py:266-275 +
+        # random.choice in read_and_deform_pathology, utils.py:437-441)
+        self._lesions = []
+        if "pathology" in self.tasks and data_root and os.path.isdir(data_root):
+            from ..utils.nifti import load_nifti
+
+            _, prob_paths = pathology_pool(data_root)
+            for p in prob_paths[:16]:  # resident cap
+                vol, _ = load_nifti(p)
+                self._lesions.append(
+                    SubjectBank._pad(vol.astype(np.float32), self.bank.bank_shape))
+
     def _load_real(self, data_root, split_root, split):
         base = os.path.join(data_root, self.setup["root"])
-        names = _read_split(split_root, split, self.name)
+        names = _read_split(split_root, split, self.name,
+                            age_task="age" in self.tasks)
         ages = _read_ages(split_root) if "age" in self.tasks else {}
         p = self.setup["paths"]
         for n in names:
@@ -184,6 +202,12 @@ class SynthDataset:
         if mode != "synth":
             subject = dict(subject)
             subject["image"] = subject[mode]
+        if self._lesions and "pathol_prob" not in subject:
+            import jax.numpy as jnp
+
+            subject = dict(subject)
+            subject["pathol_prob"] = jnp.asarray(
+                self._lesions[self._rng.integers(len(self._lesions))])
         if mode not in self._knobs:
             self._knobs[mode] = build_knobs_stack(self.static, mode)
         return synth_item(key, subject, self.static, self.tasks, mode,
@@ -216,27 +240,48 @@ class ConcatStream:
 
 def build_datasets(gen_cfg, tasks, device=None) -> Dict[str, SynthDataset]:
     """Dataset factory (parity: build_datasets, Generator/__init__.py:10-21:
-    registry {'default','brain_id'} -> dataset per configured name)."""
-    size = tuple(gen_cfg.size)
-    generator_name = getattr(gen_cfg, "generator", "brain_id")
-    all_samples = int(getattr(gen_cfg, "all_samples", 1) or 1)
-    mild = int(getattr(gen_cfg, "mild_samples", all_samples) or all_samples)
-    if generator_name == "default":
-        all_samples, mild = 1, 1
-    static = SynthStatic(size=size, all_samples=all_samples,
-                         mild_samples=mild)
+    registry {'default','brain_id'} -> dataset per configured name).
 
-    names = list(getattr(gen_cfg, "dataset_names", None) or ["ADHD"])
-    probs = getattr(gen_cfg, "dataset_probs", None)
-    input_prob = getattr(gen_cfg, "input_prob", None)
-    debug = 1 if not getattr(gen_cfg, "data_root", None) else 0
+    `gen_cfg` follows the project config schema (cfgs/generator/default.yaml):
+    size / sample counts / augmentation knobs nested under the `generator:`
+    block, with top-level dataset_names / data_root / modality_probs. A flat
+    cfg with a top-level `size` is accepted for tests/programmatic use."""
+    g = gen_cfg.get("generator") if hasattr(gen_cfg, "get") else None
+    if g is None or isinstance(g, str) or not hasattr(g, "get"):
+        # flat schema: treat gen_cfg itself as the generator block
+        flat = dict(gen_cfg)
+        flat.pop("generator", None)
+        from ..config import AttrDict
+
+        cfg_tree = AttrDict(dict(gen_cfg))
+        cfg_tree["generator"] = AttrDict(flat)
+    else:
+        cfg_tree = gen_cfg
+    gblock = cfg_tree["generator"]
+
+    dataset_option = gen_cfg.get("dataset_option")
+    if dataset_option is None and isinstance(gen_cfg.get("generator"), str):
+        dataset_option = gen_cfg.get("generator")
+    static = SynthStatic.from_cfg(cfg_tree)
+    if (dataset_option or "brain_id") == "default":
+        # BaseGen: one sample per item (Generator/__init__.py:10-21); the
+        # sample keeps the base (severe) knob row unless mild was configured
+        import dataclasses
+
+        static = dataclasses.replace(
+            static, all_samples=1, mild_samples=min(static.mild_samples, 1))
+
+    names = list(gen_cfg.get("dataset_names") or ["ADHD"])
+    probs = gen_cfg.get("dataset_probs")
+    input_prob = gen_cfg.get("modality_probs") or gen_cfg.get("input_prob")
+    debug = 0 if (gen_cfg.get("data_root")
+                  and os.path.isdir(str(gen_cfg.get("data_root")))) else 1
 
     out = {}
     for n in names:
-        ip = dict(vars(input_prob[n])) if isinstance(input_prob, dict) and \
-            n in input_prob else (input_prob or {})
-        out[n] = SynthDataset(n, gen_cfg, tasks, static,
-                              input_prob=ip if isinstance(ip, dict) else {},
+        ip = input_prob.get(n) if hasattr(input_prob, "get") else None
+        ip = dict(ip) if hasattr(ip, "keys") else {}
+        out[n] = SynthDataset(n, gen_cfg, tasks, static, input_prob=ip,
                               debug_subjects=debug)
     out["_concat"] = ConcatStream(out, probs)
     return out

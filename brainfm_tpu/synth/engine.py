@@ -289,12 +289,16 @@ def _synth_sample(key, syn, keep_i, pathol_dir_i, subject, cfg, setup, knobs,
     real contrasts, pathology keep-mask, encode+augment."""
     k3, k4, k5 = jax.random.split(key, 3)
 
-    # random linear mix with real contrasts (datasets.py:379-388)
+    # random linear mix with real contrasts (datasets.py:379-388); weights
+    # are zeroed for unavailable contrasts and renormalized over the ones
+    # actually mixed, so the blend stays unit-sum (the reference assumes
+    # T1/T2/FLAIR targets exist and would crash otherwise)
     if cfg.mix_synth_prob > 0:
         mix = jax.random.uniform(k3) < cfg.mix_synth_prob
         v = jax.random.uniform(k4, (4,))
-        v = v.at[2].set(jnp.where(jnp.asarray("T2" in subject), v[2], 0.0))
-        v = v.at[3].set(jnp.where(jnp.asarray("FLAIR" in subject), v[3], 0.0))
+        for i, t in enumerate(("T1", "T2", "FLAIR"), start=1):
+            if t not in subject or t not in target:
+                v = v.at[i].set(0.0)
         v = v / jnp.sum(v)
         mixed = v[0] * syn
         # targets are flipped when setup.flip — unflip for mixing consistency
@@ -340,10 +344,10 @@ def _synth_item_impl(key, subject_vals, subject_keys, cfg: SynthStatic,
     setup = sample_setup(k_setup, cfg)
     shp = subject["shape"]
     sfd, A, c2 = random_affine(k_aff, cfg, shp)
-    F = None
+    F = Fneg = None
     if cfg.nonlinear_transform:
-        F, _ = random_nonlinear_field(k_field, cfg, setup,
-                                      need_inverse=("surface" in tasks))
+        F, Fneg = random_nonlinear_field(k_field, cfg, setup,
+                                         need_inverse=("surface" in tasks))
     grid = deform_grid(cfg, shp, A, c2, F)
 
     S = cfg.all_samples
@@ -369,6 +373,16 @@ def _synth_item_impl(key, subject_vals, subject_keys, cfg: SynthStatic,
             sample = _real_sample(ki, subject, grid, cfg, setup, knobs, tasks,
                                   target, input_mode, hemis_mask)
         samples.append(sample)
+
+    # surface-task deformation state for the host-side mesh warp
+    # (parity: read_and_deform_surface needs the inverse affine + negative
+    # SVF of THIS item's deformation, Generator/utils.py:479-534; consumed
+    # by synth.surface.deform_surfaces)
+    if "surface" in tasks and Fneg is not None:
+        target["surface_svf_neg"] = Fneg
+        target["surface_affine_A"] = A
+        target["surface_affine_c2"] = c2
+        target["surface_flip"] = setup["flip"]
 
     # flip pathology targets at the very end (datasets.py:752-753)
     if "pathology" in target:

@@ -39,7 +39,8 @@ def make_batch(keys, subject, scfg, tasks, input_mode, knobs):
                        else jnp.stack(xs), *targets)
     smp = jax.tree.map(lambda *xs: jnp.stack(xs), *samples)
     # criterion wants only tensor targets the losses know about
-    tgt = {k: v for k, v in tgt.items() if k != "pathology_prob"}
+    tgt = {k: v for k, v in tgt.items()
+           if k != "pathology_prob" and not k.startswith("surface_")}
     return {"targets": tgt, "samples": smp}
 
 
@@ -86,6 +87,7 @@ def train(cfg, model, weight_dict, loss_fn, bank, out_dir: str,
     n_epochs = int(cfg.n_epochs)
     rng_host = np.random.default_rng(seed)
 
+    stats: dict = {}
     for epoch in range(start_epoch, n_epochs):
         mlog = MetricLogger()
         t_ep = time.time()
@@ -133,8 +135,9 @@ def train(cfg, model, weight_dict, loss_fn, bank, out_dir: str,
         save_checkpoint(os.path.join(out_dir, "ckp"),
                         (epoch + 1) * itr_per_epoch, state,
                         extra={"epoch": epoch})
-    from ..utils.logging import plot_loss
+    if stats:
+        from ..utils.logging import plot_loss
 
-    plot_loss(os.path.join(out_dir, "log.txt"),
-              keys=[k for k in stats if k.startswith("train_loss")])
+        plot_loss(os.path.join(out_dir, "log.txt"),
+                  keys=[k for k in stats if k.startswith("train_loss")])
     return state

@@ -20,7 +20,7 @@ def test_fused_matches_loop():
     vol = jnp.asarray(rng.random((40, 40, 40)), jnp.float32)
     kw = dict(stride=(16, 16, 16), win_size=(32, 32, 32))
     params = {"scale": jnp.float32(1.5)}
-    ref = tiled_apply(lambda t: _toy_apply_p(params, t), vol, **kw)
+    ref = tiled_apply(_toy_apply_p, params, vol, **kw)
     out = tiled_apply_fused(_toy_apply_p, params, vol, **kw,
                             accum_dtype=jnp.float32)
     assert sorted(out) == sorted(ref)

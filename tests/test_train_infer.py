@@ -120,10 +120,10 @@ def test_tiled_apply_matches_whole():
     vol = jnp.asarray(np.random.default_rng(0).random((40, 30, 20)),
                       jnp.float32)
 
-    def apply_fn(tile):
-        return {"y": tile * 2.0 + 1.0}
+    def apply_fn(params, tile):
+        return {"y": tile * params + 1.0}
 
-    out = tiled_apply(apply_fn, vol, stride=(16, 16, 16),
+    out = tiled_apply(apply_fn, jnp.float32(2.0), vol, stride=(16, 16, 16),
                       win_size=(24, 24, 24))
     np.testing.assert_allclose(np.asarray(out["y"][..., 0]),
                                np.asarray(vol) * 2 + 1, rtol=1e-6)
