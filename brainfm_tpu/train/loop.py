@@ -44,6 +44,31 @@ def make_batch(keys, subject, scfg, tasks, input_mode, knobs):
     return {"targets": tgt, "samples": smp}
 
 
+def apply_condition(batch, condition: str | None):
+    """Mask/flip conditioning of a train batch (parity: Trainer/
+    engine.py:102-112): 'mask' zeroes the anomaly out of the input and
+    conditions on the pathology target; 'flip' conditions on the sagittally
+    flipped input; 'mask+flip' concatenates both."""
+    if not condition:
+        return batch
+    samples = dict(batch["samples"])
+    targets = batch["targets"]
+    x = samples["input"]  # (B, S, D, H, W, C)
+    cond = None
+    if "mask" in condition:
+        p = targets["pathology"].astype(x.dtype)
+        x = x * (1.0 - p)
+        cond = jnp.broadcast_to(p, x.shape)
+    if "flip" in condition:
+        xf = jnp.flip(x, axis=2)
+        cond = xf if cond is None else jnp.concatenate([xf, cond], axis=-1)
+    samples["input"] = x
+    out = dict(batch)
+    out["samples"] = samples
+    out["cond"] = cond
+    return out
+
+
 def train(cfg, model, weight_dict, loss_fn, bank, out_dir: str,
           itr_per_epoch: int = 100, batch_items: int = 1,
           input_modes=("synth",), seed: int = 0, log_itr: int = 10,
@@ -108,6 +133,7 @@ def train(cfg, model, weight_dict, loss_fn, bank, out_dir: str,
             else:
                 mode = input_modes[rng_host.integers(len(input_modes))]
             batch = make_batch(item_keys, subj, scfg, tasks, mode, knobs[mode])
+            batch = apply_condition(batch, cfg.get("condition"))
             lr = jnp.float32(lr_sched[min(gstep, len(lr_sched) - 1)])
             wd = jnp.float32(wd_sched[min(gstep, len(wd_sched) - 1)])
             state, metrics = step_fn(state, batch, lr, wd)

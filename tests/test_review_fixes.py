@@ -113,3 +113,34 @@ def test_build_datasets_accepts_project_schema():
     name = next(k for k in dsets if k != "_concat")
     st = dsets[name].static
     assert st.all_samples == 1 and st.mild_samples == 0
+
+
+def test_apply_condition_mask_flip(rng):
+    """(parity: Trainer/engine.py:102-112)"""
+    from brainfm_tpu.train.loop import apply_condition
+
+    x = jnp.asarray(rng.random((2, 1, 8, 8, 8, 1)), jnp.float32)
+    p = jnp.zeros((2, 1, 8, 8, 8, 1)).at[:, :, 2:4].set(1.0)
+    batch = {"samples": {"input": x}, "targets": {"pathology": p}}
+
+    out = apply_condition(batch, "mask")
+    assert float(jnp.sum(out["samples"]["input"] * p)) == 0.0
+    assert out["cond"].shape == x.shape
+
+    out2 = apply_condition(batch, "mask+flip")
+    assert out2["cond"].shape[-1] == 2
+
+    out3 = apply_condition(batch, "flip")
+    np.testing.assert_allclose(np.asarray(out3["cond"]),
+                               np.asarray(jnp.flip(x, axis=2)))
+    assert apply_condition(batch, None) is batch
+
+
+def test_unet2d_forward(rng):
+    from brainfm_tpu.models.unet3d import UNet2D
+
+    m = UNet2D(f_maps=8, num_levels=2)
+    x = jnp.asarray(rng.random((1, 16, 16, 1)), jnp.float32)
+    p = m.init(jax.random.PRNGKey(0), x)
+    feats = m.apply(p, x, method=m.get_feature)
+    assert feats[-1].shape == (1, 16, 16, 8)
