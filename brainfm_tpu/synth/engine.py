@@ -511,8 +511,19 @@ class SubjectBank:
         self.subjects.append(subj)
         return len(self.subjects) - 1
 
-    def to_device(self, idx: int):
-        return {k: jnp.asarray(v) for k, v in self.subjects[idx].items()}
+    def to_device(self, idx: int, cache_size: int = 4):
+        """Device-resident view of subject `idx`, LRU-cached: repeated use
+        (every training iteration samples from the bank) must not re-ship
+        the ~200 MB of volumes over the host link each step."""
+        if not hasattr(self, "_dev_cache"):
+            self._dev_cache = {}
+        if idx in self._dev_cache:
+            return self._dev_cache[idx]
+        dev = {k: jnp.asarray(v) for k, v in self.subjects[idx].items()}
+        if len(self._dev_cache) >= cache_size:
+            self._dev_cache.pop(next(iter(self._dev_cache)))
+        self._dev_cache[idx] = dev
+        return dev
 
     def __len__(self):
         return len(self.subjects)
