@@ -277,9 +277,15 @@ def build_datasets(gen_cfg, tasks, device=None) -> Dict[str, SynthDataset]:
     debug = 0 if (gen_cfg.get("data_root")
                   and os.path.isdir(str(gen_cfg.get("data_root")))) else 1
 
+    # the modality-prob table historically keys some datasets by their
+    # release name (parity quirk: reference default.yaml input_prob uses
+    # ADHD200/OASIS3 while dataset_setups uses ADHD/OASIS)
+    aliases = {"ADHD": "ADHD200", "OASIS": "OASIS3"}
     out = {}
     for n in names:
-        ip = input_prob.get(n) if hasattr(input_prob, "get") else None
+        ip = None
+        if hasattr(input_prob, "get"):
+            ip = input_prob.get(n) or input_prob.get(aliases.get(n, n))
         ip = dict(ip) if hasattr(ip, "keys") else {}
         out[n] = SynthDataset(n, gen_cfg, tasks, static, input_prob=ip,
                               debug_subjects=debug)
