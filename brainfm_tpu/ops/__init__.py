@@ -1,7 +1,8 @@
 from .bounds import BOUND_CODES, apply_bound
 from .splines import spline_weight, spline_grad
 from .interp import interp3d, nearest3d, trilinear3d
-from .pushpull import grid_pull, grid_push, grid_count, grid_grad
+from .resize import restrict_spline
+from .pushpull import grid_pull, grid_push, grid_count, grid_grad, grid_hess
 from .coeff import spline_coeff, spline_coeff_nd
 from .resize import resize_spline, myzoom, myzoom_anisotropic, volume_resize
 from .blur import gaussian_blur_3d, gaussian_kernel_1d
@@ -20,5 +21,5 @@ __all__ = [
     "perlin_noise_3d", "fractal_noise_3d", "shape_3d", "velocity_3d",
     "gradient_f", "gradient_b", "gradient_c", "curl_3d",
     "advect_rhs", "apply_neumann_bc", "odeint", "odeint_adjoint",
-    "odeint_masked_final",
+    "odeint_masked_final", "grid_hess", "restrict_spline",
 ]

@@ -20,7 +20,7 @@ import itertools
 import jax.numpy as jnp
 
 from .bounds import apply_bound
-from .splines import spline_grad, spline_weight
+from .splines import spline_grad, spline_hess, spline_weight
 
 
 def _as_list(v, ndim):
@@ -205,4 +205,67 @@ def grid_grad(inp, grid, interpolation=1, bound="zero", extrapolate=True):
         out = jnp.where(ok[..., None, None], out, 0.0)
     if squeeze:
         out = out[..., 0, :]
+    return out
+
+
+def grid_hess(inp, grid, interpolation=1, bound="zero", extrapolate=True):
+    """Hessian of the interpolant wrt sampling coordinates
+    (parity: utils/interpol/pushpull.py:207 grid_hess / iso1.hess3d).
+    Returns (*out, C, ndim, ndim) or (*out, ndim, ndim) for channel-less
+    input. Off-diagonals are grad x grad separable terms; diagonals use the
+    second-derivative spline weights (zero a.e. for orders <2)."""
+    inp, spatial, ndim, squeeze = _prep(inp, grid)
+    orders = _as_list(interpolation, ndim)
+    bounds = _as_list(bound, ndim)
+    C = inp.shape[-1]
+    flat = inp.reshape(-1, C)
+
+    per_dim = []
+    for d in range(ndim):
+        x = grid[..., d]
+        b0 = _node_span(x, orders[d])
+        nodes, weights, grads, hesses = [], [], [], []
+        for k in range(orders[d] + 1):
+            node = b0 + k
+            t = x - node.astype(x.dtype)
+            idx, sign = apply_bound(node, spatial[d], bounds[d])
+            nodes.append(idx)
+            weights.append(spline_weight(t, orders[d]) * sign)
+            grads.append(spline_grad(t, orders[d]) * sign)
+            hesses.append(spline_hess(t, orders[d]) * sign)
+        per_dim.append((nodes, weights, grads, hesses))
+
+    strides = []
+    s = 1
+    for d in reversed(range(ndim)):
+        strides.insert(0, s)
+        s *= spatial[d]
+
+    out = jnp.zeros(grid.shape[:-1] + (C, ndim, ndim), inp.dtype)
+    for corner in itertools.product(
+            *[range(len(per_dim[d][0])) for d in range(ndim)]):
+        idx = 0
+        for d, k in enumerate(corner):
+            idx = idx + per_dim[d][0][k] * strides[d]
+        vals = jnp.take(flat, idx, axis=0)
+        for i in range(ndim):
+            for j in range(i, ndim):
+                w = None
+                for d, k in enumerate(corner):
+                    if d == i == j:
+                        wk = per_dim[d][3][k]
+                    elif d in (i, j):
+                        wk = per_dim[d][2][k]
+                    else:
+                        wk = per_dim[d][1][k]
+                    w = wk if w is None else w * wk
+                out = out.at[..., i, j].add(vals * w[..., None])
+                if j != i:
+                    out = out.at[..., j, i].add(vals * w[..., None])
+
+    ok = _inbounds_mask(grid, spatial, extrapolate)
+    if ok is not None:
+        out = jnp.where(ok[..., None, None, None], out, 0.0)
+    if squeeze:
+        out = out[..., 0, :, :]
     return out

@@ -174,3 +174,43 @@ def volume_resize(img, aff, resolution, power_factor_at_half_width=5):
     if squeeze:
         out = out[..., 0]
     return out, aff2
+
+
+def restrict_spline(img, shape=None, factor=None, anchor="c",
+                    interpolation=1, bound="nearest", reduce_sum=False):
+    """Adjoint of `resize_spline` — restriction to a coarser grid
+    (parity: utils/interpol/restrict.py). Computed as the exact linear
+    transpose of the resize operator (resize is linear in the image), so
+    anchors/bounds/orders stay bit-consistent with resize by construction.
+
+    img: the FINE-grid image (*fine_spatial[, C]); `shape`/`factor` describe
+    the COARSE output grid (same convention as resize). reduce_sum keeps the
+    pure adjoint (summed splat); default rescales to a mean-preserving
+    restriction like the reference.
+    """
+    import jax
+
+    fine_shape = img.shape
+    ndim = len(fine_shape) if img.ndim <= 3 else img.ndim - 1
+    spatial = fine_shape[:ndim]
+    if shape is None:
+        assert factor is not None
+        f = factor if isinstance(factor, (list, tuple)) else [factor] * ndim
+        shape = tuple(int(round(s * ff)) for s, ff in zip(spatial, f))
+    shape = tuple(shape)
+    coarse_shape = shape + fine_shape[ndim:]
+
+    def fwd(coarse):
+        return resize_spline(coarse, shape=spatial, anchor=anchor,
+                             interpolation=interpolation, bound=bound,
+                             prefilter=False)
+
+    example = jnp.zeros(coarse_shape, img.dtype)
+    rt = jax.linear_transpose(fwd, example)
+    out = rt(img)[0]
+    if not reduce_sum:
+        # count-normalize: divide by the adjoint mass each coarse voxel
+        # receives (R^T 1), turning the summed splat into a local average
+        norm = rt(jnp.ones_like(img))[0]
+        out = out / jnp.maximum(norm, 1e-12)
+    return out

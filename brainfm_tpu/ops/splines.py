@@ -111,3 +111,21 @@ def spline_grad(x, order: int):
         return jnp.zeros_like(x)
     g = _g(jnp.abs(x), order) * jnp.sign(x)
     return jnp.where(jnp.abs(x) >= (order + 1) / 2.0, 0.0, g)
+
+
+def _h(x, order: int):
+    """Second-derivative polynomial on |x| (parity: Spline.hess,
+    utils/interpol/splines.py — orders <=3, which is everything the configs
+    use; hessians are a.e. zero for orders <2)."""
+    if order == 2:
+        return jnp.where(x < 0.5, -2.0 * jnp.ones_like(x), jnp.ones_like(x))
+    if order == 3:
+        return jnp.where(x < 1.0, 3.0 * x - 2.0, 2.0 - x)
+    raise NotImplementedError(f"spline_hess order {order} (use <=3)")
+
+
+def spline_hess(x, order: int):
+    if order <= 1:
+        return jnp.zeros_like(x)
+    h = _h(jnp.abs(x), order)
+    return jnp.where(jnp.abs(x) >= (order + 1) / 2.0, 0.0, h)

@@ -125,3 +125,42 @@ def test_pull_autodiff_is_push(rng):
     pushed = np.asarray(grid_push(jnp.asarray(u), jnp.asarray(grid), shape=inp.shape,
                                   interpolation=1, bound="dct2"))
     np.testing.assert_allclose(g, pushed, rtol=1e-5, atol=1e-6)
+
+
+def test_grid_hess_matches_autodiff(rng):
+    """grid_hess (analytic spline second derivatives) must equal the
+    jacobian of grid_grad wrt the sampling coordinates."""
+    import jax
+    from brainfm_tpu.ops.pushpull import grid_grad, grid_hess, grid_pull
+
+    vol = jnp.asarray(rng.random((7, 8, 9)), jnp.float32)
+    pts = jnp.asarray(rng.uniform(1.5, 5.5, (5, 3)), jnp.float32)
+
+    H = grid_hess(vol, pts, interpolation=3, bound="dct2")
+    assert H.shape == (5, 3, 3)
+    # symmetric
+    np.testing.assert_allclose(np.asarray(H), np.asarray(
+        jnp.swapaxes(H, -1, -2)), atol=1e-5)
+
+    def grad_at(p):
+        return grid_grad(vol, p[None], interpolation=3, bound="dct2")[0]
+
+    Href = jax.vmap(jax.jacfwd(grad_at))(pts)
+    np.testing.assert_allclose(np.asarray(H), np.asarray(Href), atol=1e-4)
+
+
+def test_restrict_is_resize_adjoint(rng):
+    """<R c, f> == <c, R^T f> for the pure adjoint."""
+    from brainfm_tpu.ops.resize import resize_spline, restrict_spline
+
+    coarse = jnp.asarray(rng.random((5, 6, 4)), jnp.float32)
+    fine = jnp.asarray(rng.random((10, 12, 8)), jnp.float32)
+    up = resize_spline(coarse, shape=(10, 12, 8), prefilter=False)
+    down = restrict_spline(fine, shape=(5, 6, 4), reduce_sum=True)
+    lhs = float(jnp.sum(up * fine))
+    rhs = float(jnp.sum(coarse * down))
+    assert abs(lhs - rhs) < 1e-3 * max(abs(lhs), 1.0)
+
+    # count-normalized restriction of a constant is that constant
+    const = restrict_spline(jnp.full((10, 12, 8), 3.0), shape=(5, 6, 4))
+    np.testing.assert_allclose(np.asarray(const), 3.0, rtol=1e-5)
