@@ -117,6 +117,10 @@ def make_criterion(cfg) -> tuple[list, dict, Callable]:
                 loss_names += ["pathol_ce", "pathol_dice"]
                 weight_dict["loss_pathol_ce"] = float(weights_cfg.pathol_ce)
                 weight_dict["loss_pathol_dice"] = float(weights_cfg.pathol_dice)
+            if t == "surface":
+                loss_names.append("surface")
+                weight_dict["loss_surface"] = float(
+                    weights_cfg.get("surface", 1.0))
         if losses_cfg.get("implicit_pathol"):
             # frozen-critic supervision on predicted images
             # (parity: PatholSeg losses, criterion.py:126-173)
@@ -224,6 +228,13 @@ def make_criterion(cfg) -> tuple[list, dict, Callable]:
                 losses["loss_bias_field_log"] = bflog_loss(
                     outputs["bias_field_log"] * mask,
                     samples["bias_field_log"] * mask)
+            elif name == "surface":
+                # L1 on the surface-distance head (parity: loss_surface,
+                # criterion.py)
+                if "surface" not in outputs or "surface" not in targets:
+                    continue
+                losses["loss_surface"] = jnp.mean(
+                    jnp.abs(outputs["surface"] - targets["surface"]))
             elif name == "age":
                 losses["loss_age"] = jnp.mean(jnp.abs(outputs["age"] - targets["age"]))
             elif name == "contrastive":

@@ -47,9 +47,11 @@ def normalized_l2(pred, target, eps: float = 1e-12):
     return jnp.linalg.norm(pred - target) / (jnp.linalg.norm(target) + eps)
 
 
-def psnr(pred, target, data_range: float = 1.0):
+def psnr(pred, target, data_range=None):
+    """(parity: get_psnr, evaluator.py:113-119 — peak = max(target))"""
     mse = jnp.mean((pred - target) ** 2)
-    return 10.0 * jnp.log10(data_range ** 2 / jnp.clip(mse, 1e-12, None))
+    peak = jnp.max(target) if data_range is None else data_range
+    return 20.0 * jnp.log10(peak / jnp.sqrt(jnp.clip(mse, 1e-24, None)))
 
 
 def _gaussian_window(size: int = 11, sigma: float = 1.5):
@@ -118,12 +120,29 @@ def ms_ssim(pred, target, data_range: float = 1.0, win_size: int = 11,
     return out
 
 
+def _minmax(x):
+    lo, hi = jnp.min(x), jnp.max(x)
+    return (x - lo) / jnp.clip(hi - lo, 1e-12, None)
+
+
+def ssim_normalized(pred, target, **kw):
+    """(parity: get_ssim, evaluator.py:121-128 — both volumes min-max
+    rescaled to [0,1] before SSIM with data_range 1)."""
+    return ssim(_minmax(pred), _minmax(target), 1.0, **kw)
+
+
+def ms_ssim_normalized(pred, target, **kw):
+    """(parity: get_ms_ssim, evaluator.py:130-141)."""
+    return ms_ssim(_minmax(pred), _minmax(target), 1.0, **kw)
+
+
 METRIC_MAP = {
     "l1": l1,
     "psnr": psnr,
-    "ssim": ssim,
-    "ms_ssim": ms_ssim,
+    "ssim": ssim_normalized,
+    "ms_ssim": ms_ssim_normalized,
     "normalized_l2": normalized_l2,
+    "corrected_l1": l1,  # bf_corrected_l1 (reference registry)
     "dice": seg_dice,
 }
 
@@ -141,8 +160,11 @@ class Evaluator:
         for name in self.metric_names:
             prefix, metric = name.rsplit("_", 1) if "_" in name \
                 else (name, name)
-            if name.endswith("ms_ssim"):
-                prefix, metric = name[: -len("_ms_ssim")], "ms_ssim"
+            # multi-token metric names from the reference registry
+            # (evaluator.py:69-90)
+            for long in ("ms_ssim", "normalized_l2", "corrected_l1"):
+                if name.endswith(long):
+                    prefix, metric = name[: -(len(long) + 1)], long
             if metric == "dice":
                 key = "label" if "seg" in prefix else "pathology"
                 if key in outputs and key in targets:

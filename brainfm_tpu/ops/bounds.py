@@ -68,7 +68,9 @@ def apply_bound(i: jnp.ndarray, n: int, bound) -> tuple[jnp.ndarray, jnp.ndarray
 
     if code == 4:  # dst1 (antimirror; zeros at virtual nodes -1 and n)
         if n == 1:
-            return jnp.zeros(i.shape, jnp.int32), jnp.zeros(i.shape, jnp.float32)
+            # reference Bound.transform returns None (identity, sign +1)
+            # for singleton dims (utils/interpol/bounds.py:65-66)
+            return jnp.zeros(i.shape, jnp.int32), one
         n2 = 2 * (n + 1)
         idx = jnp.where(i < 0, -i - 2, i)
         idx = jnp.remainder(idx, n2)

@@ -66,7 +66,7 @@ def resize_spline(img, shape=None, factor=None, anchor="c", interpolation=1,
            for a, f, i, o in zip(anchors, factor, inshape, shape)]
     grid = jnp.stack(jnp.meshgrid(*lin, indexing="ij"), axis=-1)
 
-    src = img if has_c else img
+    src = img
     if prefilter:
         if has_c:
             src = jnp.moveaxis(spline_coeff_nd(jnp.moveaxis(src, -1, 0),
@@ -177,7 +177,8 @@ def volume_resize(img, aff, resolution, power_factor_at_half_width=5):
 
 
 def restrict_spline(img, shape=None, factor=None, anchor="c",
-                    interpolation=1, bound="nearest", reduce_sum=False):
+                    interpolation=1, bound="nearest", reduce_sum=False,
+                    normalize: str = "fullscale"):
     """Adjoint of `resize_spline` — restriction to a coarser grid
     (parity: utils/interpol/restrict.py). Computed as the exact linear
     transpose of the resize operator (resize is linear in the image), so
@@ -185,8 +186,11 @@ def restrict_spline(img, shape=None, factor=None, anchor="c",
 
     img: the FINE-grid image (*fine_spatial[, C]); `shape`/`factor` describe
     the COARSE output grid (same convention as resize). reduce_sum keeps the
-    pure adjoint (summed splat); default rescales to a mean-preserving
-    restriction like the reference.
+    pure adjoint (summed splat). Otherwise `normalize` picks the scaling:
+    'fullscale' divides by the reference's constant prod((in-1)/(out-1))
+    per 'centers' anchor (restrict.py:89-102 — boundary voxels keep the
+    reference's values); 'count' divides by the per-voxel adjoint mass
+    (exact local average everywhere).
     """
     import jax
 
@@ -209,8 +213,20 @@ def restrict_spline(img, shape=None, factor=None, anchor="c",
     rt = jax.linear_transpose(fwd, example)
     out = rt(img)[0]
     if not reduce_sum:
-        # count-normalize: divide by the adjoint mass each coarse voxel
-        # receives (R^T 1), turning the summed splat into a local average
-        norm = rt(jnp.ones_like(img))[0]
-        out = out / jnp.maximum(norm, 1e-12)
+        if normalize == "count":
+            # per-voxel adjoint mass (R^T 1) -> exact local average
+            norm = rt(jnp.ones_like(img))[0]
+            out = out / jnp.maximum(norm, 1e-12)
+        else:
+            # reference fullscale (restrict.py:89-102), 'centers' anchor:
+            # prod over dims of (n_fine-1)/(n_coarse-1)
+            fullscale = 1.0
+            for s_f, s_c in zip(spatial, shape):
+                if anchor.startswith("c"):
+                    fullscale *= (s_f - 1) / max(s_c - 1, 1)
+                elif anchor.startswith("e"):
+                    fullscale *= s_f / s_c
+                else:
+                    fullscale *= s_f / s_c
+            out = out / fullscale
     return out

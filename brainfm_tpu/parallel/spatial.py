@@ -56,7 +56,16 @@ def spatial_shard_conv_apply(apply_fn, params, x, mesh, halo: int):
     batch) of x: (B, D, H, W, C), D divided across mesh axis 'space'.
 
     `halo` must cover the receptive-field half-width; slab centers are then
-    bit-identical to the unsharded result.
+    exact for purely convolutional apply_fns. Caveats for the full UNet:
+    GroupNorm statistics are computed per slab+halo (not globally), so
+    normalized networks differ slightly from the unsharded result — for
+    exact sharded training/inference prefer the GSPMD path (jit with the
+    volume sharded over 'space'; XLA inserts exact halo exchanges —
+    see __graft_entry__.dryrun_multichip). Output leaves must keep the
+    padded axis-1 extent (full-resolution outputs); lower-resolution
+    leaves (e.g. 'feat' pyramids) should be dropped by apply_fn. `halo`
+    and the slab extent should be multiples of 2^(levels-1) so max-pool
+    grids align.
     Returns the same pytree as apply_fn, spatially sharded the same way.
     """
 

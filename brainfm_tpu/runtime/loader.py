@@ -74,6 +74,8 @@ class VolCodec:
             for i, p in enumerate(paths):
                 vol, _ = load_nifti(p)
                 vol = np.asarray(vol, np.float32)
+                while vol.ndim > 3:  # frame 0, matching the native path
+                    vol = vol[..., 0]
                 sl = tuple(slice(0, min(a, b))
                            for a, b in zip(vol.shape[:3], self.bank_shape))
                 arena[i][sl] = vol[sl]

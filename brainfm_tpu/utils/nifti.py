@@ -75,6 +75,12 @@ def _read_nifti(f):
     count = int(np.prod(shape)) * (bitpix // 8)
     buf = f.read(count)
     data = np.frombuffer(buf, dtype=dtype).reshape(shape, order="F")
+    # non-finite slope/inter mean "no scaling" (nibabel convention; some
+    # tools write NaN here)
+    if not np.isfinite(scl_slope):
+        scl_slope = 0.0
+    if not np.isfinite(scl_inter):
+        scl_inter = 0.0
     if scl_slope not in (0.0, 1.0) or scl_inter != 0.0:
         slope = scl_slope if scl_slope != 0.0 else 1.0
         data = data * slope + scl_inter

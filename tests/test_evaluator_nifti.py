@@ -17,7 +17,12 @@ from brainfm_tpu.utils.nifti import load_nifti, save_nifti
 def test_psnr_closed_form():
     a = jnp.zeros((8, 8, 8))
     b = jnp.full((8, 8, 8), 0.1)
-    np.testing.assert_allclose(float(psnr(a, b)), 20.0, rtol=1e-5)
+    # explicit peak: 20*log10(1/0.1) = 20 dB
+    np.testing.assert_allclose(float(psnr(a, b, data_range=1.0)), 20.0,
+                               rtol=1e-5)
+    # reference semantics: peak = max(target) = 0.1 -> rmse == peak -> 0 dB
+    # (get_psnr, evaluator.py:113-119)
+    np.testing.assert_allclose(float(psnr(a, b)), 0.0, atol=1e-5)
 
 
 def test_dice_perfect_and_disjoint():

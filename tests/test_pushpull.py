@@ -162,5 +162,15 @@ def test_restrict_is_resize_adjoint(rng):
     assert abs(lhs - rhs) < 1e-3 * max(abs(lhs), 1.0)
 
     # count-normalized restriction of a constant is that constant
-    const = restrict_spline(jnp.full((10, 12, 8), 3.0), shape=(5, 6, 4))
+    const = restrict_spline(jnp.full((10, 12, 8), 3.0), shape=(5, 6, 4),
+                            normalize="count")
     np.testing.assert_allclose(np.asarray(const), 3.0, rtol=1e-5)
+    # reference-fullscale normalization is a constant rescale of the pure
+    # adjoint (level-preserving only in the large-grid limit — at these toy
+    # sizes just pin the scaling relation)
+    full = restrict_spline(jnp.full((10, 12, 8), 3.0), shape=(5, 6, 4))
+    summed = restrict_spline(jnp.full((10, 12, 8), 3.0), shape=(5, 6, 4),
+                             reduce_sum=True)
+    fullscale = (9 / 4) * (11 / 5) * (7 / 3)
+    np.testing.assert_allclose(np.asarray(full),
+                               np.asarray(summed) / fullscale, rtol=1e-5)
