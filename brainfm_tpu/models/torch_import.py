@@ -58,6 +58,14 @@ def torch_to_flax_params(state: Dict[str, np.ndarray], prefix: str = "backbone."
       head.layers.N.main.*   head.pool_layers / final_linearK_<name>
     """
     params: dict = {}
+    # bare-backbone checkpoints (UNet3D state dicts without the Joiner
+    # wrapper) carry no 'backbone.' prefix — auto-detect, mirroring the
+    # reference's fuzzy key alignment (utils/checkpoint.py:538-680)
+    keys = [k[len("module."):] if k.startswith("module.") else k
+            for k in state]
+    if prefix and not any(k.startswith(prefix) for k in keys) and \
+            any(k.startswith(("encoders.", "decoders")) for k in keys):
+        prefix = ""
     for key, val in state.items():
         if key.startswith("module."):
             key = key[len("module."):]

@@ -1,0 +1,60 @@
+"""End-to-end .pth file import: save a reference-format torch checkpoint
+(the scripts/train.py:205-214 dict layout), import it, and verify forward
+parity — the exact path a user takes with brainfm_pretrained.pth."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import torch
+
+sys.path.insert(0, "/root/reference")
+
+from tests._refstub import stub_reference_deps
+
+
+@pytest.fixture(scope="module")
+def ref_models():
+    stub_reference_deps()
+    from Trainer.models.unet3d.model import UNet3D as TorchUNet3D
+
+    tm = TorchUNet3D(in_channels=1, out_channels=1, f_maps=8, num_levels=2,
+                     layer_order="gcl", num_groups=8, is_segmentation=False)
+    tm.eval()
+    return tm
+
+
+def test_pth_roundtrip_forward_parity(ref_models, tmp_path, rng):
+    from brainfm_tpu.models.torch_import import import_checkpoint
+    from brainfm_tpu.models.unet3d import UNet3D
+
+    tm = ref_models
+    # reference checkpoint layout (scripts/train.py:205-214)
+    path = str(tmp_path / "brainfm_like.pth")
+    torch.save({"model": tm.state_dict(), "epoch": 3,
+                "best_val_stats": {}}, path)
+
+    params = import_checkpoint(path)
+    # bare (non-Joiner) checkpoints land under the backbone subtree
+    params = {"params": params["params"]["backbone"]}
+    jm = UNet3D(f_maps=8, num_levels=2)
+
+    x = rng.random((1, 1, 12, 12, 12)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).numpy()
+    # torch NCDHW -> jax NDHWC
+    xj = jnp.asarray(np.transpose(x, (0, 2, 3, 4, 1)))
+    out = jm.apply(params, xj, method=jm.get_feature)[-1]
+    # get_feature[-1] is the last decoder level pre-final-conv in the torch
+    # model's forward; compare through the full forward instead:
+    # torch UNet3D.forward = decoder stack + final 1x1 conv; our backbone
+    # has no final conv — compare the decoder feature maps
+    with torch.no_grad():
+        tfeats = tm.get_feature(torch.from_numpy(x))
+    ref_feat = tfeats[-1].numpy()  # (1, C, D, H, W)
+    out_np = np.transpose(np.asarray(out), (0, 4, 1, 2, 3))
+    np.testing.assert_allclose(out_np, ref_feat, atol=2e-5)
