@@ -507,6 +507,7 @@ class SubjectBank:
             "dist": self._pad(dist, self.bank_shape),
             "reg": self._pad(reg, self.bank_shape),
             "shape": np.asarray(extent, np.float32),
+            "age": np.float32(rng.uniform(20.0, 90.0)),
         }
         self.subjects.append(subj)
         return len(self.subjects) - 1

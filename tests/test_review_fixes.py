@@ -144,3 +144,20 @@ def test_unet2d_forward(rng):
     p = m.init(jax.random.PRNGKey(0), x)
     feats = m.apply(p, x, method=m.get_feature)
     assert feats[-1].shape == (1, 16, 16, 8)
+
+
+def test_age_task_end_to_end(rng):
+    """Age target flows from the (debug) subject through synth_item and the
+    criterion to a finite loss."""
+    from brainfm_tpu.synth import SynthStatic, synth_item
+    from brainfm_tpu.synth.engine import SubjectBank, build_knobs_stack
+
+    bank = SubjectBank(bank_shape=(24, 24, 24))
+    bank.add_debug_subject(seed=0, extent=(20, 20, 20))
+    subj = bank.to_device(0)
+    assert "age" in subj
+    scfg = SynthStatic(size=(16, 16, 16), all_samples=1, mild_samples=1)
+    knobs = build_knobs_stack(scfg, "synth")
+    target, samples = synth_item(jax.random.PRNGKey(0), subj, scfg,
+                                 ("T1", "age"), "synth", knobs)
+    assert float(target["age"]) > 0
