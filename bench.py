@@ -42,7 +42,10 @@ def main():
                      exact=False)
 
     # whole-brain 1mm volume (reference inference shape, 220^3 twin of
-    # demo_test): tiles 160^3, stride 80 -> 27 windows
+    # demo_test): tiles 160^3, stride 80 -> 8 full-size windows (2 starts
+    # per axis; the reference's walk emits the same 8 windows but lets the
+    # trailing ones shrink to 80 voxels — ours stay 160^3 for static
+    # shapes, i.e. we process 2.4x MORE voxels per volume)
     vol = jnp.asarray(np.random.default_rng(0).random((220, 220, 220)),
                       jnp.float32)
 
@@ -51,7 +54,7 @@ def main():
         # block; a small dependent transfer is the only reliable fence
         return np.asarray(out["T1"][0, 0, 0])
 
-    # warmup/compile (fused single-dispatch scan over the 27 tiles)
+    # warmup/compile (fused single-dispatch scan over the tile grid)
     out = inf.evaluate_tiled(vol, stride=(80, 80, 80),
                              win_size=(160, 160, 160), run_postprocess=False)
     sync(out)
@@ -85,7 +88,7 @@ def main():
     print(f"# generator: {2 / gen_dt:.1f} samples/s @160^3 "
           f"({gen_dt * 1e3:.1f} ms/item)", file=sys.stderr)
     print(f"# tiled inference: {dt * 1e3:.0f} ms / 220^3 volume "
-          f"(27 tiles of 160^3)", file=sys.stderr)
+          f"(8 tiles of 160^3, stride-80 plan)", file=sys.stderr)
 
     # tertiary: training step at the single-chip crop (128^3 — the 160^3
     # flagship crop needs >16 GB HBM even with remat; it trains spatially
@@ -154,10 +157,12 @@ def main():
         print(f"# train step bench skipped: {type(e).__name__}",
               file=sys.stderr)
 
-    # measured reference line (BASELINE.md): torch reference UNet3D f64 L5 on
-    # this host's CPU = 185 s / 160^3 tile -> 0.0002 vol/s for the same
-    # 27-tile 220^3 pass. No GPU is measurable here.
-    baseline = 0.0002
+    # measured reference line (BASELINE.md): torch reference UNet3D f64 L5
+    # on this host's CPU = 185 s / 160^3 tile; the reference's stride-80
+    # walk over 220^3 covers 240^3 voxels of mixed-size windows ->
+    # 185 s x (240/160)^3 = 624 s/volume = 0.0016 vol/s. No GPU measurable
+    # here.
+    baseline = 0.0016
     try:
         with open("/root/repo/BASELINE.json") as f:
             bl = json.load(f)
@@ -170,9 +175,9 @@ def main():
     print(json.dumps({
         "metric": "tiled_inference_vols_per_sec_per_chip",
         "value": round(vols_per_sec, 4),
-        "unit": "volumes/s (220^3 @1mm, 160^3 tiles, stride 80, joint 8-task "
-                "UNet3D f64 L5; vs_baseline = ratio to torch reference on "
-                "8-thread CPU, 0.0002 vol/s — see BASELINE.md)",
+        "unit": "volumes/s (220^3 @1mm, 8x160^3 tiles stride 80, joint "
+                "8-task UNet3D f64 L5; vs_baseline = ratio to torch "
+                "reference on 8-thread CPU, 0.0016 vol/s — see BASELINE.md)",
         "vs_baseline": round(vs, 4),
     }))
 
@@ -181,4 +186,8 @@ if __name__ == "__main__":
     main()
     import os
 
+    # os._exit skips interpreter cleanup AND stdio flushing — without the
+    # explicit flush the contract JSON line is lost when stdout is a pipe
+    sys.stdout.flush()
+    sys.stderr.flush()
     os._exit(0)

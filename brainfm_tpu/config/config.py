@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import copy
 import os
+import re
 import time
 from types import SimpleNamespace
 
@@ -55,19 +56,21 @@ class AttrDict(dict):
         return conv(self)
 
 
+_SCI_FLOAT = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)[eE][+-]?\d+$")
+
+
 def _coerce_scalars(obj):
-    """YAML 1.1 quirks: parse '1e-4'-style floats that PyYAML leaves as str
-    (reference handles this with an explicit float resolver, utils/config.py:80-90)."""
+    """YAML 1.1 quirk: '1e-4'-style scientific notation without a dot is
+    parsed as str by PyYAML (the reference fixes it with an explicit float
+    resolver, utils/config.py:80-90). Only that exact shape is coerced —
+    plain decimals already arrive as floats when unquoted, and quoted
+    strings like \"2.50\" must stay strings."""
     if isinstance(obj, dict):
         return {k: _coerce_scalars(v) for k, v in obj.items()}
     if isinstance(obj, list):
         return [_coerce_scalars(v) for v in obj]
-    if isinstance(obj, str):
-        try:
-            if any(c in obj for c in ".eE") and not obj.strip().startswith(("/", "~")):
-                return float(obj)
-        except ValueError:
-            pass
+    if isinstance(obj, str) and _SCI_FLOAT.match(obj.strip()):
+        return float(obj)
     return obj
 
 
@@ -103,8 +106,6 @@ def load_config(cfg_files, cfg_dir: str = "") -> AttrDict:
             path = os.path.join(cfg_dir, f)
         if not os.path.isfile(path) and not path.endswith((".yaml", ".yml")):
             path = path + ".yaml"
-        if not os.path.isfile(path) and cfg_dir and not f.endswith((".yaml", ".yml")):
-            path = os.path.join(cfg_dir, f + ".yaml")
         recursive_update(merged, load_yaml(path))
     return AttrDict.from_nested(merged)
 

@@ -54,7 +54,7 @@ def make_tiled_fused(apply_fn, params, shape, dtype=jnp.float32,
 
     `accum_dtype`: canvas accumulation dtype. bf16 (default) measured 10x
     faster end-to-end than fp32 carries on v5e (2.0 s vs 19.4 s for
-    27x160^3 over 220^3 — fp32 canvases trip pathological copy behavior in
+    8x160^3 over 220^3 — fp32 canvases trip pathological copy behavior in
     the scan); blending <=8 overlaps in bf16 costs ~0.4% relative error.
     Pass jnp.float32 for exact reference-parity blending.
     """
@@ -95,7 +95,7 @@ def tiled_apply_fused(apply_fn, params, vol, stride=(80, 80, 80),
                       win_size=(160, 160, 160), accum_dtype=jnp.bfloat16):
     """One-shot convenience over make_tiled_fused. For repeated volumes of
     the same shape, hold on to make_tiled_fused's callable instead —
-    re-tracing the 27-tile scan costs seconds of host time per call."""
+    re-tracing the tile scan costs seconds of host time per call."""
     fn, offs = make_tiled_fused(apply_fn, params, vol.shape, vol.dtype,
                                 stride, win_size, accum_dtype)
     return fn(params, vol, offs)

@@ -45,9 +45,18 @@ def main():
     knobs = build_knobs_stack(scfg, args.mode)
     os.makedirs(args.save_dir, exist_ok=True)
 
+    subject = bank.to_device(0)
+    if args.mode != "synth":
+        # real-image branch reads subject['image'] (parity: read_input,
+        # Generator/datasets.py:572-588)
+        if args.mode not in subject:
+            raise SystemExit(f"subject has no {args.mode} volume")
+        subject = dict(subject)
+        subject["image"] = subject[args.mode]
+
     for d in range(args.num_deformations):
         t0 = time.time()
-        target, samples = synth_item(jax.random.PRNGKey(d), bank.to_device(0),
+        target, samples = synth_item(jax.random.PRNGKey(d), subject,
                                      scfg, tasks, args.mode, knobs)
         jax.block_until_ready(samples)
         print(f"deformation {d}: {time.time() - t0:.2f}s")
@@ -68,4 +77,6 @@ def main():
 
 if __name__ == "__main__":
     main()
+    sys.stdout.flush()  # os._exit skips stdio flushing
+    sys.stderr.flush()
     os._exit(0)

@@ -45,4 +45,6 @@ def main():
 
 if __name__ == "__main__":
     main()
+    sys.stdout.flush()  # os._exit skips stdio flushing
+    sys.stderr.flush()
     os._exit(0)

@@ -48,13 +48,24 @@ def main():
     paths = sorted(glob.glob(args.input_glob))
     print(f"{len(paths)} inputs")
     all_res = []
+    # only fetch the outputs the requested metrics read — the full output
+    # dict includes multi-GB soft segmentations per case
+    needed = {"label", "pathology"}
+    for name in args.metrics:
+        pre = name.rsplit("_", 1)[0]
+        needed.add({"recon": "T1", "sr": "high_res", "bf": "bias_field",
+                    "feat": "T1"}.get(pre, pre))
     for p in paths:
         im, aff, _, _ = prepare_image(p, list(args.win))
         outs = inf.evaluate_image(im)
-        outs = {k: np.asarray(v)[0] if hasattr(v, "ndim") else v
-                for k, v in outs.items() if k != "feat"}
+        outs = {k: np.asarray(v)[0] for k, v in outs.items()
+                if k in needed and hasattr(v, "ndim")}
         if args.gt_suffix:
-            gt_path = p.replace(".nii", args.gt_suffix)
+            # strip the full NIfTI extension from the basename only
+            # (str.replace mangled .nii.gz names and directory components)
+            stem = p[: -len(".nii.gz")] if p.endswith(".nii.gz") else \
+                p[: -len(".nii")] if p.endswith(".nii") else p
+            gt_path = stem + args.gt_suffix
             if os.path.isfile(gt_path):
                 gt, _, _, _ = prepare_image(gt_path, list(args.win))
                 res = ev.eval(outs, {"T1": np.asarray(gt)})
@@ -68,4 +79,6 @@ def main():
 
 if __name__ == "__main__":
     main()
+    sys.stdout.flush()  # os._exit skips stdio flushing
+    sys.stderr.flush()
     os._exit(0)

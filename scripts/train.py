@@ -33,20 +33,31 @@ def build_bank(cfg, bank_shape=(192, 192, 192)):
     bank = SubjectBank(bank_shape=bank_shape)
     root = cfg.data_root or ""
     t1s = sorted(glob.glob(os.path.join(root, "*T1w.nii*"))) if root else []
+
+    def find(base, suffix):
+        # companions may be .nii or .nii.gz regardless of the T1's extension
+        for ext in (".nii", ".nii.gz"):
+            p = base + suffix + ext
+            if os.path.isfile(p):
+                return p
+        return None
+
     for t1 in t1s:
         base = t1.split(".T1w.nii")[0]
         paths = {"T1": t1}
-        gen = base + ".generation_labels.nii"
-        seg = base + f".{cfg.segment_prefix}.nii"
-        if os.path.isfile(gen):
-            paths["gen"] = gen
-        if os.path.isfile(seg):
+        gen = find(base, ".generation_labels")
+        seg = find(base, f".{cfg.segment_prefix}")
+        if not gen:
+            print("skipping (no generation labels):", t1)
+            continue
+        paths["gen"] = gen
+        if seg:
             paths["seg"] = seg
-        dist = [base + f".{k}_dist_map.nii" for k in ("lp", "lw", "rp", "rw")]
-        if all(os.path.isfile(p) for p in dist):
+        dist = [find(base, f".{k}_dist_map") for k in ("lp", "lw", "rp", "rw")]
+        if all(dist):
             paths["dist"] = dist
-        reg = [base + f".mni_reg.{a}.nii" for a in ("x", "y", "z")]
-        if all(os.path.isfile(p) for p in reg):
+        reg = [find(base, f".mni_reg.{a}") for a in ("x", "y", "z")]
+        if all(reg):
             paths["reg"] = reg
         bank.add_from_files(paths)
     if len(bank) == 0:
@@ -89,6 +100,14 @@ def main():
 
     out_dir = args.out_dir or update_out_dir(cfg).out_dir
     bank = build_bank(cfg)
+    # real-image modality roulette (parity: read_input probabilities,
+    # Generator/datasets.py:563-589): a single flat table works for the
+    # one-bank CLI path; per-dataset tables live in synth.datasets
+    if cfg.get("modality_probs") and not cfg.get("input_prob"):
+        probs = cfg.modality_probs
+        first = next(iter(probs.values())) if hasattr(probs, "values") else None
+        if hasattr(first, "get"):
+            cfg.input_prob = dict(first)
     itr = 2 if args.debug else args.itr_per_epoch
     state = train(cfg, model, weight_dict, loss_fn, bank, out_dir,
                   itr_per_epoch=itr, resume=args.resume)
@@ -97,4 +116,6 @@ def main():
 
 if __name__ == "__main__":
     main()
+    sys.stdout.flush()  # os._exit skips stdio flushing
+    sys.stderr.flush()
     os._exit(0)
