@@ -52,21 +52,21 @@ __all__ = ["warp_trilinear_tiled", "trilinear3d_tiled", "patch_for_bounds"]
 
 def _warp_kernel(corner_ref, dflt_ref, ii_ref, jj_ref, kk_ref, vol_ref,
                  out_ref, of_ref, patch_ref, sem,
-                 *, dims, patch, C, N):
+                 *, dims, patch, C, N, mode):
     D, H, W = dims
     PA, PB, PC = patch
     f32 = jnp.float32
 
-    cx = corner_ref[0, 0]
-    cy = corner_ref[0, 1]
-    cz = corner_ref[0, 2]
+    cx = corner_ref[0, 0, 0]
+    cy = corner_ref[0, 0, 1]
+    cz = corner_ref[0, 0, 2]
 
-    ii = ii_ref[:]            # (1, N) global float coords
-    jj = jj_ref[:]
-    kk = kk_ref[:]
+    ii = ii_ref[0]            # (1, N) global float coords
+    jj = jj_ref[0]
+    kk = kk_ref[0]
 
     # out-of-bounds mask — strict >0 lower bound (reference convention,
-    # Generator/utils.py:141)
+    # Generator/utils.py:141); nearest mode only clamps (utils.py:124-138)
     ok = (ii > 0.0) & (jj > 0.0) & (kk > 0.0) & \
          (ii <= D - 1.0) & (jj <= H - 1.0) & (kk <= W - 1.0)
 
@@ -76,19 +76,24 @@ def _warp_kernel(corner_ref, dflt_ref, ii_ref, jj_ref, kk_ref, vol_ref,
     zl = jnp.clip(kk, 0.0, W - 1.0) - cz.astype(f32)
     of = (xl < 0.0) | (xl > PA - 1.0) | (yl < 0.0) | (yl > PB - 1.0) | \
          (zl < 0.0) | (zl > PC - 1.0)
-    of_ref[0, 0] = jnp.sum(of.astype(jnp.int32))
+    of_ref[0, 0, 0] = jnp.sum(of.astype(jnp.int32))
     xl = jnp.clip(xl, 0.0, PA - 1.0)
     yl = jnp.clip(yl, 0.0, PB - 1.0)
     zl = jnp.clip(zl, 0.0, PC - 1.0)
 
-    # hat weights, lane-major (support, N): exactly the trilinear weights
-    def hat(sup, loc):
+    # separable weights, lane-major (support, N): trilinear hat — exactly
+    # the 2-tap interpolation weights — or the nearest-rounding indicator
+    # (exactly one 1.0 per column, so integer label volumes pass through
+    # bit-exactly)
+    def weights(sup, loc):
         k = jax.lax.broadcasted_iota(jnp.int32, (sup, N), 0).astype(f32)
+        if mode == "nearest":
+            return (k == jnp.round(loc)).astype(f32)
         return jnp.maximum(0.0, 1.0 - jnp.abs(k - loc))
 
-    wx = hat(PA, xl)          # (PA, N)
-    wy = hat(PB, yl)          # (PB, N)
-    wz = hat(PC, zl)          # (PC, N)
+    wx = weights(PA, xl)      # (PA, N)
+    wy = weights(PB, yl)      # (PB, N)
+    wz = weights(PC, zl)      # (PC, N)
 
     copy = pltpu.make_async_copy(
         vol_ref.at[:, pl.ds(cx, PA), pl.ds(cy, PB), pl.ds(cz, PC)],
@@ -98,15 +103,19 @@ def _warp_kernel(corner_ref, dflt_ref, ii_ref, jj_ref, kk_ref, vol_ref,
 
     for c in range(C):
         p2 = patch_ref[c].reshape(PA * PB, PC)
-        # z contraction on the MXU: (PA*PB, PC) @ (PC, N) -> (PA*PB, N)
+        # z contraction on the MXU: (PA*PB, PC) @ (PC, N) -> (PA*PB, N).
+        # HIGHEST keeps fp32 operands exact (values parity + exact integer
+        # labels) regardless of the global matmul-precision default.
         t1 = jax.lax.dot_general(
             p2, wz, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=f32)
         # y contraction (VPU): (PA, PB, N) * (1, PB, N) -> (PA, N)
         t2 = jnp.sum(t1.reshape(PA, PB, N) * wy[None], axis=1)
         # x contraction (VPU): (PA, N) -> (1, N)
         o = jnp.sum(t2 * wx, axis=0, keepdims=True)
-        o = jnp.where(ok, o, dflt_ref[0, c])
+        if mode != "nearest":
+            o = jnp.where(ok, o, dflt_ref[0, 0, c])
         out_ref[0, pl.ds(c, 1), :] = o
 
 
@@ -136,19 +145,22 @@ def _unblock(y, padded, tile, orig):
 _CMAX = 4
 
 
-@partial(jax.jit, static_argnames=("tile", "patch", "interpret"))
+@partial(jax.jit, static_argnames=("tile", "patch", "mode", "interpret"))
 def warp_trilinear_tiled(vol, ii, jj, kk, default, tile=(8, 8, 16),
-                         patch=(32, 32, 48), interpret=False):
-    """Tiled Pallas trilinear warp. Returns (out, overflow_count).
+                         patch=(32, 32, 48), mode="linear",
+                         interpret=False):
+    """Tiled Pallas warp. Returns (out, overflow_count).
 
     vol: (D,H,W) or (D,H,W,C) float; ii/jj/kk: (Do,Ho,Wo) float coords;
-    default: scalar or (C,) per-channel out-of-bounds values.
-    Semantics match ops.interp.trilinear3d exactly while every tile's
-    coordinates fit its patch; out-of-patch voxels clamp (and count into
-    `overflow_count`).
+    default: scalar or (C,) per-channel out-of-bounds values (linear mode;
+    nearest clamps instead, like ops.interp.nearest3d).
+    Semantics match ops.interp.trilinear3d/nearest3d exactly while every
+    tile's coordinates fit its patch; out-of-patch voxels clamp (and count
+    into `overflow_count`).
     """
     squeeze = vol.ndim == 3
     volc = vol[None] if squeeze else jnp.moveaxis(vol, -1, 0)
+    in_dtype = volc.dtype
     volc = volc.astype(jnp.float32)
     C, D, H, W = volc.shape
     PA, PB, PC = patch
@@ -166,7 +178,7 @@ def warp_trilinear_tiled(vol, ii, jj, kk, default, tile=(8, 8, 16),
     T = iib.shape[0]
 
     dflt = jnp.broadcast_to(jnp.asarray(default, jnp.float32).reshape(-1),
-                            (C,))[None]
+                            (C,))[None, None]                  # (1, 1, C)
 
     def corner(cb, hi, P):
         cc = jnp.clip(cb, 0.0, hi - 1.0)
@@ -175,33 +187,33 @@ def warp_trilinear_tiled(vol, ii, jj, kk, default, tile=(8, 8, 16),
         return lo
 
     corners = jnp.stack([corner(iib, D, PA), corner(jjb, H, PB),
-                         corner(kkb, W, PC)], axis=1)  # (T, 3) int32
+                         corner(kkb, W, PC)], axis=1)[:, None]  # (T, 1, 3)
 
     grid = (T,)
     kern = partial(_warp_kernel, dims=(D, H, W), patch=(PA, PB, PC),
-                   C=C, N=N)
+                   C=C, N=N, mode=mode)
     out, of = pl.pallas_call(
         kern,
         out_shape=(jax.ShapeDtypeStruct((T, C, N), jnp.float32),
-                   jax.ShapeDtypeStruct((T, 1), jnp.int32)),
+                   jax.ShapeDtypeStruct((T, 1, 1), jnp.int32)),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 3), lambda t: (t, 0),
+            pl.BlockSpec((1, 1, 3), lambda t: (t, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, C), lambda t: (0, 0),
+            pl.BlockSpec((1, 1, C), lambda t: (0, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, N), lambda t: (t, 0),
+            pl.BlockSpec((1, 1, N), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N), lambda t: (t, 0),
+            pl.BlockSpec((1, 1, N), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N), lambda t: (t, 0),
+            pl.BlockSpec((1, 1, N), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=(
             pl.BlockSpec((1, C, N), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda t: (t, 0),
+            pl.BlockSpec((1, 1, 1), lambda t: (t, 0, 0),
                          memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
@@ -209,10 +221,12 @@ def warp_trilinear_tiled(vol, ii, jj, kk, default, tile=(8, 8, 16),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(corners, dflt, iib, jjb, kkb, volc)
+    )(corners, dflt, iib[:, None], jjb[:, None], kkb[:, None], volc)
 
     res = _unblock(out, padded, tile, orig)
     res = res[0] if squeeze else jnp.moveaxis(res, 0, -1)
+    if mode == "nearest" and in_dtype != jnp.float32:
+        res = jnp.round(res).astype(in_dtype)
     return res, jnp.sum(of)
 
 

@@ -96,3 +96,45 @@ def test_patch_for_bounds_covers():
     _, of = warp_trilinear_tiled(vol, ii, jj, kk, 0.0, tile=tile,
                                  patch=patch, interpret=True)
     assert int(of) == 0
+
+
+def test_warp_resident_linear_and_nearest():
+    from brainfm_tpu.ops.interp import nearest3d
+    from brainfm_tpu.ops.pallas_warp_resident import warp_resident
+
+    rng = np.random.default_rng(5)
+    D = H = W = 64
+    vol = jnp.asarray(rng.random((D, H, W)), jnp.float32)
+    ii, jj, kk = _smooth_grid((24, 24, 32), D, H, W)
+    ref = trilinear3d(vol, ii, jj, kk, default=-3.0)
+    out, of = warp_resident(vol, ii, jj, kk, -3.0, tile=(8, 8, 16),
+                            trim=(40, 40, 48), interpret=True)
+    assert int(of) == 0
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    # nearest on integer labels must be bit-exact (incl. half-to-even
+    # rounding in global coordinates)
+    voli = jnp.asarray(rng.integers(0, 2000, (D, H, W)), jnp.int32)
+    refn = nearest3d(voli, ii, jj, kk)
+    outn, ofn = warp_resident(voli, ii, jj, kk, 0.0, tile=(8, 8, 16),
+                              trim=(40, 40, 48), mode="nearest",
+                              interpret=True)
+    assert int(ofn) == 0
+    assert (np.asarray(refn) == np.asarray(outn)).all()
+    assert outn.dtype == voli.dtype
+
+
+def test_warp_resident_uint8_labels():
+    # compact uint8 label volumes (LUT applied pre-warp) stay exact
+    from brainfm_tpu.ops.interp import nearest3d
+    from brainfm_tpu.ops.pallas_warp_resident import warp_resident
+
+    rng = np.random.default_rng(6)
+    D = H = W = 56
+    voli = jnp.asarray(rng.integers(0, 56, (D, H, W)), jnp.uint8)
+    ii, jj, kk = _smooth_grid((24, 24, 32), D, H, W)
+    refn = nearest3d(voli.astype(jnp.int32), ii, jj, kk)
+    outn, _ = warp_resident(voli, ii, jj, kk, 0.0, tile=(8, 8, 16),
+                            trim=(40, 40, 48), mode="nearest",
+                            interpret=True)
+    assert (np.asarray(refn) == np.asarray(outn).astype(np.int32)).all()
