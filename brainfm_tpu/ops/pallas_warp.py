@@ -7,7 +7,9 @@ float coordinate per output voxel with masked out-of-bounds defaults
 (`fast_3D_interp_torch`, /root/reference/Generator/utils.py:119-196).
 
 XLA lowers this to 8 full-volume gathers; TPU gathers are index-bound and
-cost ~240 ms for a 160^3 warp (measured v5e, 2026-08-16). Mosaic cannot
+cost 12-40 ms for a 160^3 warp depending on source size and relay health
+(12.1 ms at 128^3 src measured 2026-08-16; an earlier degraded-relay
+session read ~240 ms). Mosaic cannot
 express the volumetric gather at all ("Only 2D gather is supported").
 
 This kernel sidesteps gathers entirely by exploiting that the warp fields
@@ -238,6 +240,42 @@ def trilinear3d_tiled(vol, ii, jj, kk, default=0.0, tile=(8, 8, 16),
     out, _ = warp_trilinear_tiled(vol, ii, jj, kk, default, tile=tile,
                                   patch=patch, interpret=interpret)
     return out
+
+
+def plan_trim(tile, max_rotation, max_shear, max_scaling, svf_margin,
+              align=8):
+    """Static per-axis patch extents covering the generator's deformation
+    family (random_affine bounds, synth/deform.py:37-56) plus an SVF
+    within-tile spread margin.
+
+    The affine extent along input axis i for an output tile of extents t is
+    max over the parameter box of sum_j |A_ij| t_j; the box corners achieve
+    the maximum of each |A_ij| so corner sampling is exact enough. +2 for
+    interpolation support and slack.
+    """
+    import itertools
+
+    import numpy as np
+
+    rot = float(max_rotation) / 180.0 * np.pi
+    best = np.zeros(3)
+    t = np.asarray(tile, np.float64)
+    for r in itertools.product((-rot, rot), repeat=3):
+        for sh in itertools.product((-max_shear, max_shear), repeat=3):
+            cx, sx = np.cos(r[0]), np.sin(r[0])
+            cy, sy = np.cos(r[1]), np.sin(r[1])
+            cz, sz = np.cos(r[2]), np.sin(r[2])
+            Rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+            Ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+            Rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+            SHx = np.array([[1, 0, 0], [sh[1], 1, 0], [sh[2], 0, 1]])
+            SHy = np.array([[1, sh[0], 0], [0, 1, 0], [0, sh[2], 1]])
+            SHz = np.array([[1, 0, sh[0]], [0, 1, sh[1]], [0, 0, 1]])
+            A = SHx @ SHy @ SHz @ Rx @ Ry @ Rz
+            best = np.maximum(best, np.abs(A) @ t)
+    best = best * (1.0 + float(max_scaling))
+    need = best + 2.0 * float(svf_margin) + 2.0
+    return tuple(int(-(-int(n + 1) // align) * align) for n in need)
 
 
 def patch_for_bounds(tile, max_scale, max_displacement, align=8):

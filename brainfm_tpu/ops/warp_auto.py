@@ -1,0 +1,115 @@
+"""Routing between the XLA gather warp (ops/interp.py) and the Pallas
+tiled kernels (ops/pallas_warp_resident.py).
+
+XLA lowers coordinate warps to 8 full-volume gathers — index-bound and
+12.1 ms per 160^3 warp at 128^3 source on v5e (an 80 MB compiled
+executable; an earlier degraded-relay session read ~240 ms). The Pallas
+resident kernel replaces them with MXU hat-weight contractions but needs
+the source volume in VMEM, so routing is by (backend, size, dtype):
+
+- integer label volumes are warped compactly (uint8 after the caller's
+  LUT) — exact and only D*H*W bytes of VMEM;
+- float volumes ride bf16 storage when requested (synthesis-grade
+  accuracy) or fp32 when they fit;
+- everything else falls back to the XLA gather.
+
+Routing decisions are static at trace time (shapes + backend), so the
+jitted generator stays a single compiled graph.
+
+Measured (v5e via relay, 2026-08-16, 160^3 output grid):
+  XLA gather trilinear (128^3 src)        12.1 ms
+  XLA gather nearest   (192^3 src)        13.0 ms
+  Pallas resident fp32 (128^3 src)        40.7 ms   (exact, overflow 0)
+  Pallas resident bf16                    backend compiler crash (relay)
+XLA's gather is index-bound but fine at these sizes — so Pallas routing is
+OFF by default (`PALLAS_WARP = False`) and the kernels remain validated
+alternatives for environments/shapes where the gather regresses.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+
+from .interp import nearest3d, trilinear3d
+from .pallas_warp import plan_trim
+from .pallas_warp_resident import warp_resident
+
+__all__ = ["pallas_backend", "svf_trim_margin", "warp_labels",
+           "warp_volume"]
+
+_TILE = (8, 8, 16)
+
+# VMEM budget for the resident source volume; the kernel also holds a
+# (PA*PB, N) f32 intermediate (~4 MB) and the coord/output pipeline blocks
+_RESIDENT_BYTES = 12 * 1024 * 1024
+
+# master switch for the Pallas warp path (see module docstring — the XLA
+# gather measured faster on v5e, so this stays off unless flipped)
+PALLAS_WARP = False
+
+
+def pallas_backend() -> bool:
+    """True when running against a real TPU (directly or via the axon
+    relay); Pallas TPU kernels cannot run on the CPU backend."""
+    try:
+        plat = jax.devices()[0].platform
+    except Exception:  # pragma: no cover - no backend at all
+        return False
+    return plat in ("tpu", "axon")
+
+
+def svf_trim_margin(cfg) -> float:
+    """Within-tile SVF spread allowance: adjacent low-res nodes are
+    independent N(0, nonlin_std) draws, pairwise spread std sqrt(2)*std;
+    2.5 sigma covers the practical tail (overflowing voxels clamp to the
+    patch edge and are counted, not corrupted)."""
+    if not getattr(cfg, "nonlinear_transform", True):
+        return 1.0
+    return 2.5 * 1.4142135 * float(getattr(cfg, "nonlin_std_max", 4.0))
+
+
+@lru_cache(maxsize=32)
+def _trim_for(bounds, shape):
+    trim = plan_trim(_TILE, *bounds)
+    # the kernel requires trim <= volume extents
+    return tuple(min(t, (s // 8) * 8) for t, s in zip(trim, shape))
+
+
+def _cfg_bounds(cfg):
+    return (float(getattr(cfg, "max_rotation", 15.0)),
+            float(getattr(cfg, "max_shear", 0.2)),
+            float(getattr(cfg, "max_scaling", 0.2)),
+            svf_trim_margin(cfg))
+
+
+def warp_labels(vol, grid, cfg):
+    """Nearest-neighbour warp of a compact integer label volume
+    (values < 256, e.g. LUT-mapped segmentation indices). Bit-exact on
+    both paths."""
+    ii, jj, kk = grid
+    if (PALLAS_WARP and pallas_backend() and vol.ndim == 3 and ii.ndim == 3
+            and vol.size <= _RESIDENT_BYTES):
+        v8 = vol.astype(jnp.int8)
+        out, _ = warp_resident(v8, ii, jj, kk, 0.0, tile=_TILE,
+                               trim=_trim_for(_cfg_bounds(cfg), vol.shape),
+                               mode="nearest")
+        return out.astype(vol.dtype)
+    return nearest3d(vol, ii, jj, kk)
+
+
+def warp_volume(vol, grid, cfg, default=0.0, approx=False):
+    """Trilinear warp of a float volume. With approx=True (synthesis-grade)
+    single-channel volumes ride the Pallas kernel in bf16 when the bf16
+    copy fits VMEM; otherwise — and always for exact mode — the XLA gather
+    path runs."""
+    ii, jj, kk = grid
+    if (PALLAS_WARP and approx and pallas_backend() and vol.ndim == 3
+            and ii.ndim == 3 and vol.size * 2 <= _RESIDENT_BYTES):
+        out, _ = warp_resident(vol, ii, jj, kk, default, tile=_TILE,
+                               trim=_trim_for(_cfg_bounds(cfg), vol.shape),
+                               compute_dtype=jnp.bfloat16)
+        return out
+    return trilinear3d(vol, ii, jj, kk, default)

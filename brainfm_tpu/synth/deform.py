@@ -63,8 +63,9 @@ def zoom_from_effective(field, eff_sizes, out_sizes):
     with a random small size.
 
     Axis-separable, so it runs as three dense MXU matmuls (ops/separable.py)
-    — measured 44x faster than the 8-corner gather formulation on v5e
-    (5.5 ms vs 241 ms at 160^3).
+    — measured faster than the 8-corner gather formulation on v5e (5.5 ms
+    vs 12.1 ms healthy-relay / 241 ms degraded-relay at 160^3,
+    re-measured 2026-08-16).
 
     field: (Dm, Hm, Wm[, C]) buffer; eff_sizes: traced (3,) float;
     out_sizes: static tuple."""

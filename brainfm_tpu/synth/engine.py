@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.interp import nearest3d, trilinear3d
+from ..ops.warp_auto import warp_labels, warp_volume
 from .augment import augment_chain
 from .constants import (LABELS_EXTRACEREBRAL, LABELS_LEFT, build_lut,
                         build_vflip)
@@ -47,9 +48,14 @@ def _deform(vol, grid, mode="linear", default=0.0):
 
 
 
-def _target_segmentation(seg, grid, flip, lut, vflip, hemis_mask=None,
+def _target_segmentation(seg, grid, flip, lut, vflip, cfg, hemis_mask=None,
                          deform_one_hots=False):
-    """(parity: read_and_deform_segmentation, utils.py:394-424)"""
+    """(parity: read_and_deform_segmentation, utils.py:394-424)
+
+    TPU design: the LUT commutes with nearest-neighbour warping, so the
+    raw labels are LUT-compacted FIRST and the warp runs on a uint8 index
+    volume — bit-identical output, and small enough for the gather-free
+    VMEM-resident Pallas kernel (ops/warp_auto.warp_labels)."""
     s = seg.astype(jnp.int32)
     if hemis_mask is not None:
         s = jnp.where(hemis_mask == 0, 0, s)
@@ -58,9 +64,9 @@ def _target_segmentation(seg, grid, flip, lut, vflip, hemis_mask=None,
                                 int(vflip.shape[0]), dtype=jnp.float32)
         sd = _deform(onehot, grid)
     else:
-        sdef = _deform(s, grid, mode="nearest")
-        sd = jax.nn.one_hot(lut[jnp.clip(sdef, 0, lut.shape[0] - 1)],
-                            int(vflip.shape[0]), dtype=jnp.float32)
+        sc = lut[jnp.clip(s, 0, lut.shape[0] - 1)]
+        scd = warp_labels(sc, grid, cfg)
+        sd = jax.nn.one_hot(scd, int(vflip.shape[0]), dtype=jnp.float32)
     flipped = jnp.flip(sd, axis=0)[..., vflip]
     return jnp.where(flip > 0, flipped, sd)
 
@@ -75,7 +81,8 @@ def _target_pathology(key, subject, grid, setup, cfg):
     use_random = setup["pathol_random_shape"] > 0
 
     if "pathol_prob" in subject:
-        pfile = _deform(jnp.nan_to_num(subject["pathol_prob"]), grid)
+        pfile = warp_volume(jnp.nan_to_num(subject["pathol_prob"]), grid,
+                            cfg, approx=cfg.approx_warp)
         if cfg.augment_pathology:
             pfile = augment_pathology(k2, pfile, cfg)
     else:
@@ -178,7 +185,7 @@ def make_targets(key, subject, grid, setup, sfd, cfg, tasks, extra=None):
         target["CT"] = _flip0(warped["CT"][..., 0], flip)[..., None]
     if "segmentation" in tasks and "seg" in subject:
         target["segmentation"] = _target_segmentation(
-            subject["seg"], grid, flip, lut, vflip, hemis_mask,
+            subject["seg"], grid, flip, lut, vflip, cfg, hemis_mask,
             cfg.deform_one_hots)
     if "dist" in warped:
         chans = [warped["dist"][..., c] for c in range(n_dist)]
@@ -324,7 +331,7 @@ def _real_sample(key, subject, grid, cfg, setup, knobs, tasks, target,
     v = jnp.nan_to_num(subject["image"])
     if hemis_mask is not None:
         v = jnp.where(hemis_mask == 0, 0.0, v)
-    idef = _deform(v, grid)
+    idef = warp_volume(v, grid, cfg, approx=cfg.approx_warp)
     if input_mode in ("T1", "CT"):
         pathol_dir = jnp.zeros(())
     elif input_mode in ("T2", "FLAIR"):

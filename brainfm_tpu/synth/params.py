@@ -63,6 +63,10 @@ class SynthStatic:
     # intra-subject sampling (cfgs/generator/train/brain_id.yaml)
     all_samples: int = 4
     mild_samples: int = 2
+    # route single-channel float warps through the gather-free Pallas
+    # kernel in bf16 (synthesis-grade accuracy; labels stay exact either
+    # way) — ops/warp_auto.py
+    approx_warp: bool = True
     # resolution of the training data (datasets.py:153)
     res_training_data: Tuple[float, float, float] = (1.0, 1.0, 1.0)
 
@@ -116,6 +120,7 @@ class SynthStatic:
             bc=str(gv(sg, "bc", "neumann")),
             all_samples=int(gv(g, "all_samples", 1)),
             mild_samples=int(gv(g, "mild_samples", 0)),
+            approx_warp=bool(gv(g, "approx_warp", True)),
         )
 
 
