@@ -88,7 +88,8 @@ def _kernel(corner_ref, dflt_ref, ii_ref, jj_ref, kk_ref, vol_ref,
     # cast out of the compact storage dtype before the lane roll
     patch = vol_ref[pl.ds(cx, PA), pl.ds(cy, PB), :]       # (PA, PB, W)
     # z-trim: dynamic lane roll + static slice
-    p2 = pltpu.roll(patch.astype(cdt).reshape(PA * PB, W), -cz, 1)[:, :PC]
+    p2 = pltpu.roll(patch.astype(cdt).reshape(PA * PB, W),
+                (W - cz) % W, 1)[:, :PC]
 
     t1 = jax.lax.dot_general(
         p2, wz, (((1,), (0,)), ((), ())),
