@@ -59,13 +59,15 @@ def _kernel(scal_ref, *refs, dims, nz, trim, N, C, mode, cdt, x_chunk):
 
     # assemble the 4x4(xNZ) block neighbourhood (static offsets); the lane
     # extent of every buffer is exactly 128 — the only extent this relay's
-    # Mosaic backend accepts for the dynamic roll/slice path
+    # Mosaic backend accepts for the dynamic roll/slice path. Blocks may
+    # arrive in bf16 (halves the dominant DMA cost); the scratch stays f32
+    # because dynamic slicing of sub-32-bit refs crashes the backend.
     for i in range(_NB):
         for j in range(_NB):
             for kz in range(NZ):
                 scr_ref[kz, i * _BX:(i + 1) * _BX,
                         j * _BX:(j + 1) * _BX, :] = \
-                    blocks[(i * _NB + j) * NZ + kz][0, 0]
+                    blocks[(i * _NB + j) * NZ + kz][0, 0].astype(f32)
 
     cx = scal_ref[t, 0] * _BX          # quantized corner (block-aligned)
     cy = scal_ref[t, 1] * _BX
@@ -217,8 +219,12 @@ def warp_blocks(vol, ii, jj, kk, default=0.0, tile=(8, 8, 16),
     cdt = jnp.dtype(compute_dtype)
 
     # expose 128-lane z-blocks as an explicit dimension, ordered so each
-    # block's trailing dims are (BX, 128) — the shapes the lowering accepts
+    # block's trailing dims are (BX, 128) — the shapes the lowering accepts;
+    # bf16 compute stores the streamed copy in bf16 (same rounding the
+    # matmul would apply, half the block-fetch traffic)
     volz = volc.reshape(C, Dp, Hp, Wp // 128, 128).transpose(0, 3, 1, 2, 4)
+    if cdt == jnp.bfloat16 and mode != "nearest":
+        volz = volz.astype(jnp.bfloat16)
 
     grid = (C, T)
     vol_specs = [

@@ -35,6 +35,7 @@ import jax.numpy as jnp
 
 from .interp import nearest3d, trilinear3d
 from .pallas_warp import plan_trim
+from .pallas_warp_blocks import warp_blocks
 from .pallas_warp_resident import warp_resident
 
 __all__ = ["pallas_backend", "svf_trim_margin", "warp_labels",
@@ -46,9 +47,13 @@ _TILE = (8, 8, 16)
 # (PA*PB, N) f32 intermediate (~4 MB) and the coord/output pipeline blocks
 _RESIDENT_BYTES = 12 * 1024 * 1024
 
-# master switch for the Pallas warp path (see module docstring — the XLA
-# gather measured faster on v5e, so this stays off unless flipped)
-PALLAS_WARP = False
+# master switch for the Pallas warp path. Threaded-args re-measurement
+# (v5e, 2026-08-16 — the first 12 ms reading was a constant-folded
+# zero-arg jit): XLA gather = 243.5 ms per 1-ch 160^3 warp of 192^3,
+# +65 ms/channel (824 ms at 10ch); warp_blocks = 31 ms bf16 / 94 ms fp32
+# per channel. Linear warps route to Pallas; nearest stays XLA (41.5 ms
+# vs 94 ms).
+PALLAS_WARP = True
 
 
 def pallas_backend() -> bool:
@@ -78,6 +83,16 @@ def _trim_for(bounds, shape):
     return tuple(min(t, (s // 8) * 8) for t, s in zip(trim, shape))
 
 
+@lru_cache(maxsize=32)
+def _blocks_trim(bounds):
+    """Trim for warp_blocks: x/y capped by the 4-block fetch coverage
+    (48), z by the two 128-lane z-blocks. Coordinates beyond the cap
+    clamp to the patch edge and count into the kernel's overflow output —
+    a tail-of-the-SVF-distribution event under the generator's bounds."""
+    trim = plan_trim(_TILE, *bounds)
+    return (min(trim[0], 48), min(trim[1], 48), min(trim[2], 128))
+
+
 def _cfg_bounds(cfg):
     return (float(getattr(cfg, "max_rotation", 15.0)),
             float(getattr(cfg, "max_shear", 0.2)),
@@ -87,29 +102,26 @@ def _cfg_bounds(cfg):
 
 def warp_labels(vol, grid, cfg):
     """Nearest-neighbour warp of a compact integer label volume
-    (values < 256, e.g. LUT-mapped segmentation indices). Bit-exact on
-    both paths."""
+    (values < 256, e.g. LUT-mapped segmentation indices). XLA's nearest
+    gather (one lookup per voxel) measured 41.5 ms — faster than the
+    indicator-weight Pallas path (94 ms) — so this stays on XLA; the
+    compact-label form keeps the bytes-per-lookup minimal."""
     ii, jj, kk = grid
-    if (PALLAS_WARP and pallas_backend() and vol.ndim == 3 and ii.ndim == 3
-            and vol.size <= _RESIDENT_BYTES):
-        v8 = vol.astype(jnp.int8)
-        out, _ = warp_resident(v8, ii, jj, kk, 0.0, tile=_TILE,
-                               trim=_trim_for(_cfg_bounds(cfg), vol.shape),
-                               mode="nearest")
-        return out.astype(vol.dtype)
     return nearest3d(vol, ii, jj, kk)
 
 
 def warp_volume(vol, grid, cfg, default=0.0, approx=False):
-    """Trilinear warp of a float volume. With approx=True (synthesis-grade)
-    single-channel volumes ride the Pallas kernel in bf16 when the bf16
-    copy fits VMEM; otherwise — and always for exact mode — the XLA gather
-    path runs."""
+    """Trilinear warp of a float volume (any size / channel count) via the
+    HBM-blocked Pallas kernel: bf16 compute for synthesis-grade approx
+    mode (31 ms/channel vs XLA's 243+65/ch), fp32 HIGHEST otherwise
+    (94 ms/channel, exact to 2.4e-7). Falls back to the XLA gather off
+    TPU or for non-grid coordinate sets."""
     ii, jj, kk = grid
-    if (PALLAS_WARP and approx and pallas_backend() and vol.ndim == 3
-            and ii.ndim == 3 and vol.size * 2 <= _RESIDENT_BYTES):
-        out, _ = warp_resident(vol, ii, jj, kk, default, tile=_TILE,
-                               trim=_trim_for(_cfg_bounds(cfg), vol.shape),
-                               compute_dtype=jnp.bfloat16)
+    if (PALLAS_WARP and pallas_backend() and ii.ndim == 3
+            and vol.ndim in (3, 4)):
+        cdt = jnp.bfloat16 if approx else jnp.float32
+        out, _ = warp_blocks(vol, ii, jj, kk, default, tile=_TILE,
+                             trim=_blocks_trim(_cfg_bounds(cfg)),
+                             compute_dtype=cdt)
         return out
     return trilinear3d(vol, ii, jj, kk, default)

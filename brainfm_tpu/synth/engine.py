@@ -38,10 +38,12 @@ def _flip0(x, flip):
     return jnp.where(flip > 0, jnp.flip(x, axis=0), x)
 
 
-def _deform(vol, grid, mode="linear", default=0.0):
+def _deform(vol, grid, mode="linear", default=0.0, cfg=None, approx=False):
     xx2, yy2, zz2 = grid
     if mode == "nearest":
         return nearest3d(vol, xx2, yy2, zz2)
+    if cfg is not None:
+        return warp_volume(vol, grid, cfg, default=default, approx=approx)
     return trilinear3d(vol, xx2, yy2, zz2, default)
 
 
@@ -62,7 +64,7 @@ def _target_segmentation(seg, grid, flip, lut, vflip, cfg, hemis_mask=None,
     if deform_one_hots:
         onehot = jax.nn.one_hot(lut[jnp.clip(s, 0, lut.shape[0] - 1)],
                                 int(vflip.shape[0]), dtype=jnp.float32)
-        sd = _deform(onehot, grid)
+        sd = _deform(onehot, grid, cfg=cfg, approx=cfg.approx_warp)
     else:
         sc = lut[jnp.clip(s, 0, lut.shape[0] - 1)]
         scd = warp_labels(sc, grid, cfg)
@@ -165,7 +167,8 @@ def make_targets(key, subject, grid, setup, sfd, cfg, tasks, extra=None):
         dvec = jnp.concatenate(
             [jnp.stack([jnp.asarray(d, jnp.float32) for d in defaults])
              if defaults else jnp.zeros((0,)), jnp.zeros((n_extra,))])
-        wall = _deform(big, grid, default=dvec)
+        wall = _deform(big, grid, default=dvec, cfg=cfg,
+                       approx=cfg.approx_warp)
         warped = {n: wall[..., a:b] for n, (a, b) in spans.items()}
         if n_extra:
             extra_warped = wall[..., len(stack):]
