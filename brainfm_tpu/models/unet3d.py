@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -110,13 +111,23 @@ def _max_pool(x, window: int, is_3d: bool):
 
 
 def _nearest_upsample_to(x, target_spatial):
-    """F.interpolate(mode='nearest') parity: index floor(i * in/out)."""
+    """F.interpolate(mode='nearest') parity: index floor(i * in/out).
+
+    For tgt in {2*src, 2*src-1} the floor-index pattern equals
+    repeat-each-twice (then crop) — a broadcast/reshape instead of the
+    gather `take` lowers to on TPU (25 ms -> ~3 ms per 80->160 x128ch
+    upsample, measured v5e 2026-08-16). Other ratios keep the take."""
     for axis, tgt in enumerate(target_spatial):
         src = x.shape[axis + 1]
         if src == tgt:
             continue
-        idx = (jnp.arange(tgt) * src) // tgt
-        x = jnp.take(x, idx, axis=axis + 1)
+        if tgt in (2 * src, 2 * src - 1):
+            x = jnp.repeat(x, 2, axis=axis + 1)
+            if tgt != 2 * src:
+                x = jax.lax.slice_in_dim(x, 0, tgt, axis=axis + 1)
+        else:
+            idx = (jnp.arange(tgt) * src) // tgt
+            x = jnp.take(x, idx, axis=axis + 1)
     return x
 
 
