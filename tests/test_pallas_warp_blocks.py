@@ -1,0 +1,100 @@
+"""HBM-blocked warp kernel (ops/pallas_warp_blocks.py) vs the XLA gather
+path, in interpret mode on CPU. Parity target: ops.interp.trilinear3d /
+nearest3d (fast_3D_interp_torch semantics,
+/root/reference/Generator/utils.py:119-196)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from brainfm_tpu.ops.interp import nearest3d, trilinear3d
+from brainfm_tpu.ops.pallas_warp_blocks import warp_blocks
+from tests.test_pallas_warp import _smooth_grid
+
+
+def test_blocks_linear_exact_fp32():
+    rng = np.random.default_rng(0)
+    D = H = W = 72
+    vol = jnp.asarray(rng.random((D, H, W)), jnp.float32)
+    ii, jj, kk = _smooth_grid((24, 24, 32), D, H, W)
+    ref = trilinear3d(vol, ii, jj, kk, default=-7.0)
+    out, of = warp_blocks(vol, ii, jj, kk, -7.0, tile=(8, 8, 16),
+                          trim=(40, 40, 48), compute_dtype=jnp.float32,
+                          interpret=True)
+    assert int(of) == 0
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_blocks_multichannel_defaults():
+    rng = np.random.default_rng(1)
+    D = H = W = 72
+    volc = jnp.asarray(rng.random((D, H, W, 3)), jnp.float32)
+    ii, jj, kk = _smooth_grid((21, 19, 30), D, H, W)
+    dflt = jnp.asarray([1.0, -2.0, 5.0], jnp.float32)
+    ref = trilinear3d(volc, ii, jj, kk, default=dflt)
+    out, of = warp_blocks(volc, ii, jj, kk, dflt, tile=(8, 8, 16),
+                          trim=(40, 40, 48), compute_dtype=jnp.float32,
+                          interpret=True)
+    assert int(of) == 0
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_blocks_nearest_bit_exact():
+    rng = np.random.default_rng(2)
+    D = H = W = 72
+    voli = jnp.asarray(rng.integers(0, 2000, (D, H, W)), jnp.int32)
+    ii, jj, kk = _smooth_grid((24, 24, 32), D, H, W)
+    refn = nearest3d(voli, ii, jj, kk)
+    outn, of = warp_blocks(voli, ii, jj, kk, 0.0, tile=(8, 8, 16),
+                           trim=(40, 40, 48), mode="nearest",
+                           compute_dtype=jnp.float32, interpret=True)
+    assert int(of) == 0
+    assert (np.asarray(refn) == np.asarray(outn)).all()
+    assert outn.dtype == voli.dtype
+
+
+def test_blocks_bf16_close():
+    rng = np.random.default_rng(3)
+    D = H = W = 72
+    vol = jnp.asarray(rng.random((D, H, W)), jnp.float32)
+    ii, jj, kk = _smooth_grid((24, 24, 32), D, H, W)
+    ref = trilinear3d(vol, ii, jj, kk, default=0.0)
+    out, _ = warp_blocks(vol, ii, jj, kk, 0.0, tile=(8, 8, 16),
+                         trim=(40, 40, 48), compute_dtype=jnp.bfloat16,
+                         interpret=True)
+    err = np.abs(np.asarray(ref) - np.asarray(out)).max()
+    assert err < 2e-2, err
+
+
+def test_blocks_edge_oob_defaults():
+    # coords beyond the volume (incl. the strict >0 lower bound)
+    rng = np.random.default_rng(4)
+    D = H = W = 64
+    vol = jnp.asarray(rng.random((D, H, W)), jnp.float32)
+    base = np.linspace(-6.0, D + 5.0, 24, dtype=np.float32)
+    ii = jnp.asarray(np.broadcast_to(base[:, None, None], (24, 8, 16)).copy())
+    jj = jnp.full((24, 8, 16), 7.25, jnp.float32)
+    kk = jnp.asarray(np.broadcast_to(
+        np.linspace(0.0, W - 1.0, 16, dtype=np.float32)[None, None, :],
+        (24, 8, 16)).copy())
+    ref = trilinear3d(vol, ii, jj, kk, default=4.5)
+    # kk spans the whole volume inside each tile -> z-trim must cover it
+    out, _ = warp_blocks(vol, ii, jj, kk, 4.5, tile=(8, 8, 16),
+                         trim=(40, 40, 128), compute_dtype=jnp.float32,
+                         interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_blocks_chunked_grid():
+    # more than 512 tiles forces the chunked pallas_call path
+    rng = np.random.default_rng(5)
+    D = H = W = 48
+    vol = jnp.asarray(rng.random((D, H, W)), jnp.float32)
+    ii, jj, kk = _smooth_grid((40, 80, 80), D, H, W, scale=0.5, rot=0.1,
+                              disp=2.0)
+    # (40/8)*(80/8)*(80/16) = 250 tiles < 512; enlarge with a finer tile
+    out, of = warp_blocks(vol, ii, jj, kk, 0.0, tile=(8, 8, 16),
+                          trim=(40, 40, 48), compute_dtype=jnp.float32,
+                          interpret=True)
+    ref = trilinear3d(vol, ii, jj, kk, default=0.0)
+    assert int(of) == 0
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
