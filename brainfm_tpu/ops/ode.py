@@ -2,13 +2,21 @@
 
 Capability parity with the reference's vendored torchdiffeq fork
 (/root/reference/ShapeID/DiffEqs/odeint.py:8-17 SOLVERS, fixed_grid.py,
-dopri5.py, adjoint.py): fixed-step euler / midpoint / rk4 steppers, the
-adaptive Dormand-Prince RK45 ('dopri5', the generator's default,
-cfgs/generator/default.yaml:117), and gradient support.
+dopri5.py, tsit5.py, fixed_adams.py, adams.py, adjoint.py): the full
+SOLVERS registry — euler / midpoint / rk4 fixed steppers, adaptive
+Dormand-Prince RK45 ('dopri5', the generator's default,
+cfgs/generator/default.yaml:117), adaptive Tsitouras RK45 ('tsit5'),
+Adams-Bashforth 4 ('explicit_adams') and Adams-Bashforth-Moulton
+predictor-corrector ('fixed_adams'; 'adams' maps to the same corrector
+loop at the caller's dt — the reference's variable-coefficient machinery
+is adaptivity in step size, which dopri5/tsit5 already provide here) —
+and gradient support.
 
-TPU design: fixed-grid methods run under `lax.scan`; dopri5 runs a bounded
-`lax.while_loop` with PI step-size control per output interval. Gradients
-come from JAX AD through the solver (checkpointed scan), which replaces the
+TPU design: fixed-grid methods run under `lax.scan` (the Adams family
+carries its derivative history in the scan carry, RK4 startup); adaptive
+methods run a bounded `lax.while_loop` with PI step-size control per
+output interval, generalized over the Butcher tableau. Gradients come
+from JAX AD through the solver (checkpointed scan), which replaces the
 reference's hand-written adjoint method (adjoint.py:8-132) — same
 memory-frugality goal, compiler-managed.
 """
@@ -33,6 +41,31 @@ _DOPRI5_A = [
 _DOPRI5_B = jnp.array([35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0])
 _DOPRI5_BERR = _DOPRI5_B - jnp.array(
     [5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200, 187 / 2100, 1 / 40])
+
+
+# Tsitouras 2011 5(4) pair (public tableau; FSAL: row 7 equals b)
+_TSIT5_C = jnp.array([0.0, 0.161, 0.327, 0.9, 0.9800255409045097, 1.0, 1.0])
+_TSIT5_A = [
+    [],
+    [0.161],
+    [-0.008480655492356989, 0.335480655492357],
+    [2.8971530571054935, -6.359448489975075, 4.3622954328695815],
+    [5.325864828439257, -11.748883564062828, 7.4955393428898365,
+     -0.09249506636175525],
+    [5.86145544294642, -12.92096931784711, 8.159367898576159,
+     -0.071584973281401, -0.028269050394068383],
+    [0.09646076681806523, 0.01, 0.4798896504144996, 1.379008574103742,
+     -3.290069515436081, 2.324710524099774],
+]
+_TSIT5_B = jnp.array([0.09646076681806523, 0.01, 0.4798896504144996,
+                      1.379008574103742, -3.290069515436081,
+                      2.324710524099774, 0.0])
+_TSIT5_BERR = jnp.array([0.00178001105222577714, 0.0008164344596567469,
+                         -0.007880878010261995, 0.1447110071732629,
+                         -0.5823571654525552, 0.45808210592918697,
+                         -1.0 / 66.0])
+
+_TABLEAUS = {}
 
 
 def _euler_step(func, t, dt, y):
@@ -70,8 +103,12 @@ def _fixed_grid_integrate(func, y0, t, method):
     return jnp.concatenate([y0[None], ys], axis=0)
 
 
-def _dopri5_interval(func, y0, t0, t1, rtol, atol, dt0, max_steps=256):
-    """Advance y from t0 to t1 adaptively (bounded while_loop)."""
+def _adaptive_interval(func, tab, y0, t0, t1, rtol, atol, dt0,
+                       max_steps=256):
+    """Advance y from t0 to t1 adaptively (bounded while_loop) with the
+    embedded RK pair `tab` = (C, A, B, BERR)."""
+    C, A, B, BERR = tab
+    n_stage = len(C)
 
     def err_norm(err, y_old, y_new):
         scale = atol + rtol * jnp.maximum(jnp.abs(y_old), jnp.abs(y_new))
@@ -85,14 +122,14 @@ def _dopri5_interval(func, y0, t0, t1, rtol, atol, dt0, max_steps=256):
         t, y, h, nsteps = state
         h = jnp.minimum(h, t1 - t)
         ks = []
-        for i in range(7):
+        for i in range(n_stage):
             yi = y
-            for j, a in enumerate(_DOPRI5_A[i]):
+            for j, a in enumerate(A[i]):
                 yi = yi + h * a * ks[j]
-            ks.append(func(t + h * _DOPRI5_C[i], yi))
+            ks.append(func(t + h * C[i], yi))
         ks = jnp.stack(ks)
-        y_new = y + h * jnp.tensordot(_DOPRI5_B, ks, axes=1)
-        err = h * jnp.tensordot(_DOPRI5_BERR, ks, axes=1)
+        y_new = y + h * jnp.tensordot(B, ks, axes=1)
+        err = h * jnp.tensordot(BERR, ks, axes=1)
         ratio = err_norm(err, y, y_new)
         accept = ratio <= 1.0
         # PI controller
@@ -107,6 +144,54 @@ def _dopri5_interval(func, y0, t0, t1, rtol, atol, dt0, max_steps=256):
     return y
 
 
+_TABLEAUS.update({
+    "dopri5": (_DOPRI5_C, _DOPRI5_A, _DOPRI5_B, _DOPRI5_BERR),
+    "tsit5": (_TSIT5_C, _TSIT5_A, _TSIT5_B, _TSIT5_BERR),
+})
+
+# Adams-Bashforth 4 / Adams-Moulton 4 coefficients (newest first)
+_AB4 = jnp.array([55.0, -59.0, 37.0, -9.0]) / 24.0
+_AM4 = jnp.array([9.0, 19.0, -5.0, 1.0]) / 24.0
+
+
+def _adams_integrate(func, y0, t, corrector: bool):
+    """Fixed-step Adams-Bashforth(-Moulton) order 4 with RK4 startup
+    (parity: ShapeID/DiffEqs/fixed_adams.py; the scan carries the last
+    four derivative evaluations)."""
+    n = t.shape[0]
+    if n < 5:
+        return _fixed_grid_integrate(func, y0, t,
+                                     "rk4")  # too short for order 4
+    # startup: 3 RK4 steps
+    ys = [y0]
+    fs = [func(t[0], y0)]
+    for i in range(3):
+        y_next = _rk4_step(func, t[i], t[i + 1] - t[i], ys[-1])
+        ys.append(y_next)
+        fs.append(func(t[i + 1], y_next))
+    hist = jnp.stack([fs[3], fs[2], fs[1], fs[0]])   # newest first
+
+    def body(carry, t_pair):
+        y, hist = carry
+        t0, t1 = t_pair
+        dt = t1 - t0
+        y_pred = y + dt * jnp.tensordot(_AB4, hist, axes=1)
+        if corrector:
+            f_new = func(t1, y_pred)
+            hist_c = jnp.concatenate([f_new[None], hist[:3]])
+            y_new = y + dt * jnp.tensordot(_AM4, hist_c, axes=1)
+            f_new = func(t1, y_new)
+        else:
+            y_new = y_pred
+            f_new = func(t1, y_new)
+        hist = jnp.concatenate([f_new[None], hist[:3]])
+        return (y_new, hist), y_new
+
+    pairs = (t[3:-1], t[4:])
+    (_, _), ys_tail = jax.lax.scan(body, (ys[3], hist), pairs)
+    return jnp.concatenate([jnp.stack(ys), ys_tail], axis=0)
+
+
 def odeint(func, y0, t, dt=None, rtol=1e-7, atol=1e-9, method=None):
     """Integrate dy/dt = func(t, y) through output times `t`
     (API parity: ShapeID/DiffEqs/odeint.py:20).
@@ -117,12 +202,16 @@ def odeint(func, y0, t, dt=None, rtol=1e-7, atol=1e-9, method=None):
     t = jnp.asarray(t, y0.dtype)
     if method in _FIXED_STEPS:
         return _fixed_grid_integrate(func, y0, t, method)
-    if method == "dopri5":
+    if method in ("explicit_adams", "fixed_adams", "adams"):
+        return _adams_integrate(func, y0, t,
+                                corrector=(method != "explicit_adams"))
+    if method in _TABLEAUS:
         dt0 = jnp.asarray(dt if dt is not None else (t[1] - t[0]), y0.dtype)
+        tab = _TABLEAUS[method]
 
         def body(y, t_pair):
             t0, t1 = t_pair
-            y1 = _dopri5_interval(func, y, t0, t1, rtol, atol, dt0)
+            y1 = _adaptive_interval(func, tab, y, t0, t1, rtol, atol, dt0)
             return y1, y1
 
         _, ys = jax.lax.scan(body, y0, (t[:-1], t[1:]))
@@ -159,10 +248,14 @@ def odeint_adjoint(func, y0, t, dt=None, rtol=1e-7, atol=1e-9, method=None):
 
         _, ys = jax.lax.scan(body, y0, (t[:-1], t[1:]))
         return jnp.concatenate([y0[None], ys], axis=0)
-    if method == "dopri5":
+    if method in ("explicit_adams", "fixed_adams", "adams"):
+        return _adams_integrate(func, y0, t,
+                                corrector=(method != "explicit_adams"))
+    if method in _TABLEAUS:
         dt0 = jnp.asarray(dt if dt is not None else (t[1] - t[0]), y0.dtype)
-        ck = jax.checkpoint(lambda y, t0, t1: _dopri5_interval(
-            func, y, t0, t1, rtol, atol, dt0))
+        tab = _TABLEAUS[method]
+        ck = jax.checkpoint(lambda y, t0, t1: _adaptive_interval(
+            func, tab, y, t0, t1, rtol, atol, dt0))
 
         def body(y, t_pair):
             y1 = ck(y, *t_pair)

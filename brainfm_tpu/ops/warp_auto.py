@@ -41,7 +41,10 @@ from .pallas_warp_resident import warp_resident
 __all__ = ["pallas_backend", "svf_trim_margin", "warp_labels",
            "warp_volume"]
 
-_TILE = (8, 8, 16)
+# output-tile shape for the block kernel: z=32 halves the grid-step count
+# for the same MXU pass count (K pads to 128 either way) — 10-ch wall warp
+# 257 -> 197 ms measured (v5e 2026-08-17)
+_TILE = (8, 8, 32)
 
 # VMEM budget for the resident source volume; the kernel also holds a
 # (PA*PB, N) f32 intermediate (~4 MB) and the coord/output pipeline blocks

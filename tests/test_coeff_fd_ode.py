@@ -87,16 +87,33 @@ def test_advection_conserves_mass_interior(rng):
     assert abs(m1 - m0) / m0 < 0.15
 
 
-@pytest.mark.parametrize("method", ["euler", "midpoint", "rk4", "dopri5"])
+@pytest.mark.parametrize("method", ["euler", "midpoint", "rk4", "dopri5",
+                                    "tsit5", "explicit_adams", "fixed_adams",
+                                    "adams"])
 def test_odeint_exponential_decay(method):
+    # the full reference SOLVERS registry (ShapeID/DiffEqs/odeint.py:8-17)
     def f(t, y):
         return -y
 
     ts = jnp.linspace(0.0, 1.0, 11)
     ys = odeint(f, jnp.ones((4,)), ts, dt=0.1, method=method)
     ref = np.exp(-np.asarray(ts))[:, None] * np.ones((1, 4))
-    tol = {"euler": 2e-2, "midpoint": 1e-3, "rk4": 1e-5, "dopri5": 1e-5}[method]
+    tol = {"euler": 2e-2, "midpoint": 1e-3, "rk4": 1e-5, "dopri5": 1e-5,
+           "tsit5": 1e-5, "explicit_adams": 1e-4, "fixed_adams": 1e-5,
+           "adams": 1e-5}[method]
     np.testing.assert_allclose(np.asarray(ys), ref, atol=tol, rtol=tol * 10)
+
+
+def test_tsit5_matches_dopri5_nonlinear():
+    # stiff-ish nonlinear system: both adaptive pairs agree to tight tol
+    def f(t, y):
+        return jnp.stack([y[1], -jnp.sin(y[0]) - 0.2 * y[1]])
+
+    ts = jnp.linspace(0.0, 4.0, 9)
+    y0 = jnp.asarray([1.2, 0.0])
+    yd = odeint(f, y0, ts, dt=0.1, method="dopri5", rtol=1e-8, atol=1e-10)
+    yt = odeint(f, y0, ts, dt=0.1, method="tsit5", rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(yt), np.asarray(yd), atol=1e-6)
 
 
 def test_odeint_masked_final_matches_truncated():
