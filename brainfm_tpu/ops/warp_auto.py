@@ -36,7 +36,6 @@ import jax.numpy as jnp
 from .interp import nearest3d, trilinear3d
 from .pallas_warp import plan_trim
 from .pallas_warp_blocks import warp_blocks
-from .pallas_warp_resident import warp_resident
 
 __all__ = ["pallas_backend", "svf_trim_margin", "warp_labels",
            "warp_volume"]
@@ -45,10 +44,6 @@ __all__ = ["pallas_backend", "svf_trim_margin", "warp_labels",
 # for the same MXU pass count (K pads to 128 either way) — 10-ch wall warp
 # 257 -> 197 ms measured (v5e 2026-08-17)
 _TILE = (8, 8, 32)
-
-# VMEM budget for the resident source volume; the kernel also holds a
-# (PA*PB, N) f32 intermediate (~4 MB) and the coord/output pipeline blocks
-_RESIDENT_BYTES = 12 * 1024 * 1024
 
 # master switch for the Pallas warp path. Threaded-args re-measurement
 # (v5e, 2026-08-16 — the first 12 ms reading was a constant-folded
@@ -77,13 +72,6 @@ def svf_trim_margin(cfg) -> float:
     if not getattr(cfg, "nonlinear_transform", True):
         return 1.0
     return 2.5 * 1.4142135 * float(getattr(cfg, "nonlin_std_max", 4.0))
-
-
-@lru_cache(maxsize=32)
-def _trim_for(bounds, shape):
-    trim = plan_trim(_TILE, *bounds)
-    # the kernel requires trim <= volume extents
-    return tuple(min(t, (s // 8) * 8) for t, s in zip(trim, shape))
 
 
 @lru_cache(maxsize=32)
