@@ -1,29 +1,26 @@
 """Routing between the XLA gather warp (ops/interp.py) and the Pallas
-tiled kernels (ops/pallas_warp_resident.py).
+tiled warp kernels (ops/pallas_warp_blocks.py).
 
-XLA lowers coordinate warps to 8 full-volume gathers — index-bound and
-12.1 ms per 160^3 warp at 128^3 source on v5e (an 80 MB compiled
-executable; an earlier degraded-relay session read ~240 ms). The Pallas
-resident kernel replaces them with MXU hat-weight contractions but needs
-the source volume in VMEM, so routing is by (backend, size, dtype):
+XLA lowers coordinate warps to 8 full-volume gathers — index-bound: on
+v5e a single-channel 160^3 warp of a 192^3 source costs 243.5 ms and each
+extra fused channel +65 ms (824 ms at 10 channels; threaded-args
+measurement 2026-08-16 — always thread benchmark inputs, a zero-arg jit
+constant-folds to a 12 ms memcpy). The HBM-blocked Pallas kernel
+evaluates the same warp as hat-weight MXU contractions over streamed
+source blocks: 31 ms/channel bf16, 94 ms/channel fp32 (exact to 2.4e-7),
+197 ms for the generator's 10-channel fused target warp at the (8,8,32)
+tile.
 
-- integer label volumes are warped compactly (uint8 after the caller's
-  LUT) — exact and only D*H*W bytes of VMEM;
-- float volumes ride bf16 storage when requested (synthesis-grade
-  accuracy) or fp32 when they fit;
-- everything else falls back to the XLA gather.
+Routing (static at trace time, so the jitted generator stays one graph):
+- linear float warps with 3-D grid coordinates -> Pallas blocks kernel
+  (bf16 in approx/synthesis mode, fp32 HIGHEST otherwise);
+- nearest label warps -> XLA gather (41.5 ms beats the indicator-weight
+  kernel's 94 ms);
+- CPU backend or non-grid coordinate sets -> XLA gather.
 
-Routing decisions are static at trace time (shapes + backend), so the
-jitted generator stays a single compiled graph.
-
-Measured (v5e via relay, 2026-08-16, 160^3 output grid):
-  XLA gather trilinear (128^3 src)        12.1 ms
-  XLA gather nearest   (192^3 src)        13.0 ms
-  Pallas resident fp32 (128^3 src)        40.7 ms   (exact, overflow 0)
-  Pallas resident bf16                    backend compiler crash (relay)
-XLA's gather is index-bound but fine at these sizes — so Pallas routing is
-OFF by default (`PALLAS_WARP = False`) and the kernels remain validated
-alternatives for environments/shapes where the gather regresses.
+Patch extents come from `plan_trim` over the generator's affine bounds
+plus an SVF spread margin; coordinates beyond the static patch clamp to
+its edge and are counted in the kernel's overflow output.
 """
 
 from __future__ import annotations
