@@ -65,12 +65,16 @@ def _target_segmentation(seg, grid, flip, lut, vflip, cfg, hemis_mask=None,
         onehot = jax.nn.one_hot(lut[jnp.clip(s, 0, lut.shape[0] - 1)],
                                 int(vflip.shape[0]), dtype=jnp.float32)
         sd = _deform(onehot, grid, cfg=cfg, approx=cfg.approx_warp)
-    else:
-        sc = lut[jnp.clip(s, 0, lut.shape[0] - 1)]
-        scd = warp_labels(sc, grid, cfg)
-        sd = jax.nn.one_hot(scd, int(vflip.shape[0]), dtype=jnp.float32)
-    flipped = jnp.flip(sd, axis=0)[..., vflip]
-    return jnp.where(flip > 0, flipped, sd)
+        flipped = jnp.flip(sd, axis=0)[..., vflip]
+        return jnp.where(flip > 0, flipped, sd)
+    sc = lut[jnp.clip(s, 0, lut.shape[0] - 1)]
+    scd = warp_labels(sc, grid, cfg)
+    # flip in LABEL space before the one-hot: flip(onehot(l))[..., vflip]
+    # == onehot(vflip[flip(l)]) (vflip is the half-swap involution, so it
+    # is its own inverse) — avoids three passes over the (size, n_labels)
+    # one-hot tensor
+    lab = jnp.where(flip > 0, vflip[jnp.flip(scd, axis=0)], scd)
+    return jax.nn.one_hot(lab, int(vflip.shape[0]), dtype=jnp.float32)
 
 
 
