@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.interp import nearest3d, trilinear3d
+from ..ops.pallas_lut import lut_apply
 from ..ops.warp_auto import warp_labels, warp_volume
 from .augment import augment_chain
 from .constants import (LABELS_EXTRACEREBRAL, LABELS_LEFT, build_lut,
@@ -67,13 +68,14 @@ def _target_segmentation(seg, grid, flip, lut, vflip, cfg, hemis_mask=None,
         sd = _deform(onehot, grid, cfg=cfg, approx=cfg.approx_warp)
         flipped = jnp.flip(sd, axis=0)[..., vflip]
         return jnp.where(flip > 0, flipped, sd)
-    sc = lut[jnp.clip(s, 0, lut.shape[0] - 1)]
+    sc = lut_apply(lut, jnp.clip(s, 0, lut.shape[0] - 1))
     scd = warp_labels(sc, grid, cfg)
     # flip in LABEL space before the one-hot: flip(onehot(l))[..., vflip]
     # == onehot(vflip[flip(l)]) (vflip is the half-swap involution, so it
     # is its own inverse) — avoids three passes over the (size, n_labels)
     # one-hot tensor
-    lab = jnp.where(flip > 0, vflip[jnp.flip(scd, axis=0)], scd)
+    lab = jnp.where(flip > 0, lut_apply(vflip, jnp.flip(scd, axis=0)),
+                    scd)
     return jax.nn.one_hot(lab, int(vflip.shape[0]), dtype=jnp.float32)
 
 
@@ -122,7 +124,8 @@ def make_targets(key, subject, grid, setup, sfd, cfg, tasks, extra=None):
 
     hemis_mask = None
     if left and "seg" in subject and "reg" in subject:
-        s = lut[jnp.clip(subject["seg"].astype(jnp.int32), 0, lut.shape[0] - 1)]
+        s = lut_apply(lut, jnp.clip(subject["seg"].astype(jnp.int32),
+                                    0, lut.shape[0] - 1))
         hemis_mask = ((s > 0) & (subject["reg"][..., 0] < 0)).astype(jnp.int32)
 
     def hmask(v):
@@ -270,7 +273,10 @@ def _synth_volumes(key, subject, cfg, setup, tasks):
     g = jnp.where(gen == 77, 2, gen)
     gr = jnp.clip(jnp.round(g).astype(jnp.int32), 0, 255)
     noise = jax.random.normal(kn, (*gr.shape, S))
-    syn_subj = jnp.maximum(mus[gr] + sigmas[gr] * noise, 0.0)  # (D,H,W,S)
+    # one fused gather-free table lookup for all 2S columns
+    # (ops/pallas_lut.py; XLA's mus[gr] gather costs 24.7 ms at 192^3)
+    ms = lut_apply(jnp.concatenate([mus, sigmas], axis=1), gr)  # (...,2S)
+    syn_subj = jnp.maximum(ms[..., :S] + ms[..., S:] * noise, 0.0)
 
     # pathology direction from tissue contrast (datasets.py:390-409)
     wm = ((gr == 2) | (gr == 41))[..., None]

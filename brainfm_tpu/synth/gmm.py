@@ -70,5 +70,7 @@ def synth_intensities(key, gen_labels, mus, sigmas, hemis_mask=None):
     if hemis_mask is not None:
         g = jnp.where(hemis_mask == 0, 0, g)
     gr = jnp.clip(jnp.round(g).astype(jnp.int32), 0, 255)
-    syn = mus[gr] + sigmas[gr] * jax.random.normal(key, gr.shape)
+    from ..ops.pallas_lut import lut_apply
+    ms = lut_apply(jnp.stack([mus, sigmas], axis=1), gr)
+    syn = ms[..., 0] + ms[..., 1] * jax.random.normal(key, gr.shape)
     return jnp.maximum(syn, 0.0)

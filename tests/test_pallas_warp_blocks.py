@@ -98,3 +98,21 @@ def test_blocks_chunked_grid():
     ref = trilinear3d(vol, ii, jj, kk, default=0.0)
     assert int(of) == 0
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_lut_apply_matches_take():
+    from brainfm_tpu.ops.pallas_lut import lut_apply
+
+    rng = np.random.default_rng(7)
+    table = jnp.asarray(rng.random((256, 3)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, 256, (31, 17, 9)), jnp.int32)
+    ref = np.asarray(table)[np.asarray(idx)]
+    out = lut_apply(table, idx, interpret=True)
+    assert (np.asarray(out) == ref).all()
+
+    # 1-D integer table: dtype survives, values exact
+    t1 = jnp.asarray(rng.integers(0, 56, 2036), jnp.int32)
+    i1 = jnp.asarray(rng.integers(0, 2036, (23, 11)), jnp.int32)
+    o1 = lut_apply(t1, i1, interpret=True)
+    assert o1.dtype == t1.dtype
+    assert (np.asarray(o1) == np.asarray(t1)[np.asarray(i1)]).all()
