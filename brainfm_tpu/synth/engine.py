@@ -56,9 +56,11 @@ def _target_segmentation(seg, grid, flip, lut, vflip, cfg, hemis_mask=None,
     """(parity: read_and_deform_segmentation, utils.py:394-424)
 
     TPU design: the LUT commutes with nearest-neighbour warping, so the
-    raw labels are LUT-compacted FIRST and the warp runs on a uint8 index
-    volume — bit-identical output, and small enough for the gather-free
-    VMEM-resident Pallas kernel (ops/warp_auto.warp_labels)."""
+    raw labels are LUT-compacted FIRST (gather-free table lookup,
+    ops/pallas_lut.py) and the nearest warp runs on the compact index
+    volume via bf16 indicator-weight matmuls — bit-identical output
+    (ops/warp_auto.warp_labels), with the sagittal flip applied in label
+    space before the one-hot."""
     s = seg.astype(jnp.int32)
     if hemis_mask is not None:
         s = jnp.where(hemis_mask == 0, 0, s)
@@ -111,11 +113,11 @@ def make_targets(key, subject, grid, setup, sfd, cfg, tasks, extra=None):
     """Deform every requested target (parity: datasets.py:716-724 loop).
 
     TPU design: all trilinear targets are stacked channel-wise into ONE
-    fused gather (per-channel out-of-bounds defaults via trilinear3d's
-    vector default) — the gather's index handling dominates its runtime, so
-    one C-channel warp beats C single warps ~4x. Per-target scaling/flip
-    semantics are applied before/after exactly as in the reference
-    processors (Generator/utils.py:324-471)."""
+    fused warp (per-channel out-of-bounds defaults) that rides the
+    gather-free Pallas block kernel — 197 ms for the 10-channel wall vs
+    824 ms as XLA gathers (ops/warp_auto.py routing). Per-target
+    scaling/flip semantics are applied before/after exactly as in the
+    reference processors (Generator/utils.py:324-471)."""
     flip = setup["flip"]
     left = cfg.left_hemis_only
     labels = LABELS_LEFT if left else LABELS_EXTRACEREBRAL
