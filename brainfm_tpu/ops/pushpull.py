@@ -269,3 +269,38 @@ def grid_hess(inp, grid, interpolation=1, bound="zero", extrapolate=True):
     if squeeze:
         out = out[..., 0, :, :]
     return out
+
+
+def identity_grid(shape, dtype=jnp.float32):
+    """Identity transformation field (*shape, dim)
+    (parity: utils/interpol/api.py:455-476)."""
+    mesh = jnp.meshgrid(*[jnp.arange(s, dtype=dtype) for s in shape],
+                        indexing="ij")
+    return jnp.stack(mesh, axis=-1)
+
+
+def add_identity_grid(disp):
+    """Displacement field -> transformation field
+    (parity: utils/interpol/api.py:505-521)."""
+    dim = disp.shape[-1]
+    return disp + identity_grid(disp.shape[-dim - 1:-1], disp.dtype)
+
+
+def affine_grid(mat, shape):
+    """Dense transformation grid from an affine matrix (..., D[+1], D+1)
+    (parity: utils/interpol/api.py:524-555)."""
+    mat = jnp.asarray(mat)
+    shape = tuple(shape)
+    nb_dim = mat.shape[-1] - 1
+    if nb_dim != len(shape):
+        raise ValueError("affine matrix dimension does not match shape")
+    if mat.shape[-2] not in (nb_dim, nb_dim + 1):
+        raise ValueError("affine matrix must be (..., D|D+1, D+1)")
+    batch = mat.shape[:-2]
+    grid = identity_grid(shape, mat.dtype)
+    lin = mat[..., :nb_dim, :nb_dim]
+    off = mat[..., :nb_dim, -1]
+    out = jnp.einsum("...ij,...j->...i",
+                     lin.reshape(*batch, *(1,) * nb_dim, nb_dim, nb_dim),
+                     grid) + off.reshape(*batch, *(1,) * nb_dim, nb_dim)
+    return out

@@ -174,3 +174,29 @@ def test_restrict_is_resize_adjoint(rng):
     fullscale = (9 / 4) * (11 / 5) * (7 / 3)
     np.testing.assert_allclose(np.asarray(full),
                                np.asarray(summed) / fullscale, rtol=1e-5)
+
+
+def test_identity_affine_grids_match_reference():
+    import torch
+
+    from brainfm_tpu.ops.pushpull import (add_identity_grid, affine_grid,
+                                          identity_grid)
+    from utils.interpol import api as ref_api
+
+    shape = (4, 5, 6)
+    ig = np.asarray(identity_grid(shape))
+    rg = ref_api.identity_grid(shape).numpy()
+    np.testing.assert_allclose(ig, rg)
+
+    rngl = np.random.default_rng(0)
+    disp = rngl.normal(size=(4, 5, 6, 3)).astype(np.float32)
+    og = np.asarray(add_identity_grid(jnp.asarray(disp)))
+    rr = ref_api.add_identity_grid(torch.from_numpy(disp)).numpy()
+    np.testing.assert_allclose(og, rr, atol=1e-6)
+
+    mat = np.eye(4, dtype=np.float32)
+    mat[:3, :3] = rngl.normal(size=(3, 3)) * 0.3 + np.eye(3)
+    mat[:3, 3] = rngl.normal(size=3)
+    ag = np.asarray(affine_grid(jnp.asarray(mat), shape))
+    ra = ref_api.affine_grid(torch.from_numpy(mat), shape).numpy()
+    np.testing.assert_allclose(ag, ra, atol=1e-5)
