@@ -44,9 +44,11 @@ _BX = 16            # x/y block quantum
 _NB = 4             # blocks fetched per axis (coverage 64, corner in [0,16))
 
 
-def _kernel(scal_ref, *refs, dims, nz, trim, N, C, mode, cdt, x_chunk):
+def _kernel(scal_ref, *refs, dims, nz, trim, N, C, cp, mode, cdt, x_chunk):
     D, H, W = dims          # true extents (coordinate semantics)
     NZ = nz                 # 128-lane z-blocks fetched (1 or 2)
+    CP = cp                 # channels packed per grid step (share fetches
+                            # and the weight build)
     PA, PB, PC = trim
     f32 = jnp.float32
     # refs layout: 16*NZ block refs, dflt_ref, ii, jj, kk, out, of, scratch
@@ -56,18 +58,6 @@ def _kernel(scal_ref, *refs, dims, nz, trim, N, C, mode, cdt, x_chunk):
 
     c = pl.program_id(0)
     t = pl.program_id(1)
-
-    # assemble the 4x4(xNZ) block neighbourhood (static offsets); the lane
-    # extent of every buffer is exactly 128 — the only extent this relay's
-    # Mosaic backend accepts for the dynamic roll/slice path. Blocks may
-    # arrive in bf16 (halves the dominant DMA cost); the scratch stays f32
-    # because dynamic slicing of sub-32-bit refs crashes the backend.
-    for i in range(_NB):
-        for j in range(_NB):
-            for kz in range(NZ):
-                scr_ref[kz, i * _BX:(i + 1) * _BX,
-                        j * _BX:(j + 1) * _BX, :] = \
-                    blocks[(i * _NB + j) * NZ + kz][0, 0].astype(f32)
 
     cx = scal_ref[t, 0] * _BX          # quantized corner (block-aligned)
     cy = scal_ref[t, 1] * _BX
@@ -118,27 +108,40 @@ def _kernel(scal_ref, *refs, dims, nz, trim, N, C, mode, cdt, x_chunk):
 
     prec = jax.lax.Precision.HIGHEST if cdt == f32 else None
     shift = (128 - czl) % 128
-    o = jnp.zeros((1, N), f32)
-    for a0 in range(0, PA, x_chunk):
-        pa = min(x_chunk, PA - a0)
-        # x/y trim: dynamic leading+sublane slices of the f32 scratch;
-        # z trim: per-z-block 128-lane rolls + lane select
-        p_lo = scr_ref[0, pl.ds(xoff + a0, pa), pl.ds(yoff, PB), :]
-        r_lo = pltpu.roll(p_lo.reshape(pa * PB, 128), shift, 1)
-        if NZ == 2:
-            p_hi = scr_ref[1, pl.ds(xoff + a0, pa), pl.ds(yoff, PB), :]
-            r_hi = pltpu.roll(p_hi.reshape(pa * PB, 128), shift, 1)
-            lane = jax.lax.broadcasted_iota(jnp.int32, (pa * PB, 128), 1)
-            r_lo = jnp.where(lane < 128 - czl, r_lo, r_hi)
-        p2 = r_lo[:, :PC]
-        t1 = jax.lax.dot_general(
-            p2.astype(cdt), wz, (((1,), (0,)), ((), ())),
-            precision=prec, preferred_element_type=f32)     # (pa*PB, N)
-        t2 = jnp.sum(t1.reshape(pa, PB, N) * wy[None], axis=1)   # (pa, N)
-        o = o + jnp.sum(t2 * wx[a0:a0 + pa], axis=0, keepdims=True)
-    if mode != "nearest":
-        o = jnp.where(ok, o, dflt_ref[0, 0, 0])   # block (1,1,1) at index c
-    out_ref[0, 0, :] = o[0]
+    for ch in range(CP):
+        # assemble the 4x4(xNZ) block neighbourhood for this channel
+        # (static offsets); the lane extent of every buffer is exactly 128
+        # — the only extent this relay's Mosaic backend accepts for the
+        # dynamic roll/slice path. Blocks may arrive in bf16; the scratch
+        # stays f32 because dynamic slicing of sub-32-bit refs crashes the
+        # backend.
+        for i in range(_NB):
+            for j in range(_NB):
+                for kz in range(NZ):
+                    scr_ref[kz, i * _BX:(i + 1) * _BX,
+                            j * _BX:(j + 1) * _BX, :] = \
+                        blocks[(i * _NB + j) * NZ + kz][ch, 0].astype(f32)
+        o = jnp.zeros((1, N), f32)
+        for a0 in range(0, PA, x_chunk):
+            pa = min(x_chunk, PA - a0)
+            # x/y trim: dynamic leading+sublane slices of the f32 scratch;
+            # z trim: per-z-block 128-lane rolls + lane select
+            p_lo = scr_ref[0, pl.ds(xoff + a0, pa), pl.ds(yoff, PB), :]
+            r_lo = pltpu.roll(p_lo.reshape(pa * PB, 128), shift, 1)
+            if NZ == 2:
+                p_hi = scr_ref[1, pl.ds(xoff + a0, pa), pl.ds(yoff, PB), :]
+                r_hi = pltpu.roll(p_hi.reshape(pa * PB, 128), shift, 1)
+                lane = jax.lax.broadcasted_iota(jnp.int32, (pa * PB, 128), 1)
+                r_lo = jnp.where(lane < 128 - czl, r_lo, r_hi)
+            p2 = r_lo[:, :PC]
+            t1 = jax.lax.dot_general(
+                p2.astype(cdt), wz, (((1,), (0,)), ((), ())),
+                precision=prec, preferred_element_type=f32)   # (pa*PB, N)
+            t2 = jnp.sum(t1.reshape(pa, PB, N) * wy[None], axis=1)
+            o = o + jnp.sum(t2 * wx[a0:a0 + pa], axis=0, keepdims=True)
+        if mode != "nearest":
+            o = jnp.where(ok, o, dflt_ref[0, 0, ch])
+        out_ref[0, pl.ds(ch, 1), :] = o
 
 
 @partial(jax.jit, static_argnames=("tile", "trim", "mode", "compute_dtype",
@@ -159,6 +162,15 @@ def warp_blocks(vol, ii, jj, kk, default=0.0, tile=(8, 8, 16),
     in_dtype = volc.dtype
     volc = volc.astype(jnp.float32)
     C = volc.shape[0]
+    # channels packed per grid step: pairs share block fetches and the
+    # weight build (bf16 blocks keep the spec VMEM in budget; fp32 and
+    # nearest stay single-channel)
+    CP = 2 if (jnp.dtype(compute_dtype) == jnp.bfloat16
+               and mode != "nearest" and C > 1) else 1
+    if C % CP:
+        volc = jnp.concatenate(
+            [volc, jnp.zeros((CP - C % CP, *volc.shape[1:]), volc.dtype)])
+    CG = volc.shape[0] // CP
     PA, PB, PC = trim
     if PA > (_NB - 1) * _BX or PB > (_NB - 1) * _BX:
         raise ValueError(f"trim x/y must be <= {(_NB - 1) * _BX}")
@@ -215,33 +227,34 @@ def warp_blocks(vol, ii, jj, kk, default=0.0, tile=(8, 8, 16),
     scal = jnp.stack([bx0, by0, zb0, xoff, yoff, czl], axis=1)  # (Tpad, 6)
 
     dflt = jnp.broadcast_to(jnp.asarray(default, jnp.float32).reshape(-1),
-                            (C,)).reshape(C, 1, 1)
+                            (C,))
+    dflt = jnp.concatenate([dflt, jnp.zeros(CG * CP - C)]).reshape(CG, 1, CP)
     cdt = jnp.dtype(compute_dtype)
 
     # expose 128-lane z-blocks as an explicit dimension, ordered so each
     # block's trailing dims are (BX, 128) — the shapes the lowering accepts;
     # bf16 compute stores the streamed copy in bf16 (same rounding the
     # matmul would apply, half the block-fetch traffic)
-    volz = volc.reshape(C, Dp, Hp, Wp // 128, 128).transpose(0, 3, 1, 2, 4)
+    volz = volc.reshape(CG * CP, Dp, Hp, Wp // 128,
+                        128).transpose(0, 3, 1, 2, 4)
     if cdt == jnp.bfloat16 and mode != "nearest":
         volz = volz.astype(jnp.bfloat16)
 
-    grid = (C, T)
     vol_specs = [
-        pl.BlockSpec((1, 1, _BX, _BX, 128),
+        pl.BlockSpec((CP, 1, _BX, _BX, 128),
                      (lambda i, j, kz: lambda c, t, s:
                       (c, s[t, 2] + kz, s[t, 0] + i, s[t, 1] + j, 0))(i, j, kz),
                      memory_space=pltpu.VMEM)
         for i in range(_NB) for j in range(_NB) for kz in range(NZ)
     ]
     kern = partial(_kernel, dims=(D0, H0, W0), nz=NZ, trim=(PA, PB, PC),
-                   N=N, C=C, mode=mode, cdt=cdt, x_chunk=8)
+                   N=N, C=C, cp=CP, mode=mode, cdt=cdt, x_chunk=8)
     Tc = min(TC, Tpad)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(C, Tc),
+        grid=(CG, Tc),
         in_specs=vol_specs + [
-            pl.BlockSpec((1, 1, 1), lambda c, t, s: (c, 0, 0),
+            pl.BlockSpec((1, 1, CP), lambda c, t, s: (c, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, N), lambda c, t, s: (t, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -251,7 +264,7 @@ def warp_blocks(vol, ii, jj, kk, default=0.0, tile=(8, 8, 16),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, N), lambda c, t, s: (c * Tc + t, 0, 0),
+            pl.BlockSpec((1, CP, N), lambda c, t, s: (c * Tc + t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1), lambda c, t, s: (c * Tc + t, 0, 0),
                          memory_space=pltpu.SMEM),
@@ -262,8 +275,8 @@ def warp_blocks(vol, ii, jj, kk, default=0.0, tile=(8, 8, 16),
     )
     call = partial(
         pl.pallas_call, kern,
-        out_shape=(jax.ShapeDtypeStruct((C * Tc, 1, N), jnp.float32),
-                   jax.ShapeDtypeStruct((C * Tc, 1, 1), jnp.int32)),
+        out_shape=(jax.ShapeDtypeStruct((CG * Tc, CP, N), jnp.float32),
+                   jax.ShapeDtypeStruct((CG * Tc, 1, 1), jnp.int32)),
         grid_spec=grid_spec,
         interpret=interpret)
     outs, ofs = [], []
@@ -271,9 +284,11 @@ def warp_blocks(vol, ii, jj, kk, default=0.0, tile=(8, 8, 16),
         sl = slice(t0, t0 + Tc)
         o_c, of_c = call()(scal[sl], *([volz] * (_NB * _NB * NZ)), dflt,
                            iib[sl, None], jjb[sl, None], kkb[sl, None])
-        outs.append(o_c.reshape(C, Tc, N))
+        # (CG*Tc, CP, N) -> (CG*CP, Tc, N)
+        outs.append(o_c.reshape(CG, Tc, CP, N).transpose(0, 2, 1, 3)
+                    .reshape(CG * CP, Tc, N))
         ofs.append(jnp.sum(of_c))
-    out = jnp.concatenate(outs, axis=1)[:, :T]
+    out = jnp.concatenate(outs, axis=1)[:C, :T]
     of = jnp.sum(jnp.stack(ofs))
 
     res = _unblock(out.transpose(1, 0, 2), padded, tile, orig)
