@@ -23,8 +23,6 @@ memory-frugality goal, compiler-managed.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -56,7 +56,6 @@ def _kernel(scal_ref, *refs, dims, nz, trim, N, C, cp, mode, cdt, x_chunk):
     dflt_ref, ii_ref, jj_ref, kk_ref, out_ref, of_ref, scr_ref = \
         refs[_NB * _NB * NZ:]
 
-    c = pl.program_id(0)
     t = pl.program_id(1)
 
     cx = scal_ref[t, 0] * _BX          # quantized corner (block-aligned)
