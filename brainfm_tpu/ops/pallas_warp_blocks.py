@@ -17,14 +17,17 @@ HBM through the Pallas pipeline instead:
   f32 — the supported ops), then evaluates the interpolation as separable
   hat/indicator-weight contractions with the z-stage on the MXU in bf16
   (or fp32 HIGHEST for exact mode);
-- channels iterate as the OUTER grid dimension (c changes slowest so the
-  per-channel block sweeps keep their pipeline locality).
+- channel groups iterate as the OUTER grid dimension (slowest-changing,
+  so block sweeps keep their pipeline locality); in bf16 mode channels
+  ride in PAIRS per grid step, sharing the block fetches and the
+  per-tile weight build.
 
-Measured context (v5e, 2026-08-16, threaded-args timing): the XLA gather
-path costs 243 ms per single-channel 160^3 warp of a 192^3 volume and
-+65 ms per extra channel (824 ms at 10 channels); the VMEM-resident Pallas
-kernel runs the same warp in 48 ms fp32 at 128^3. This kernel targets
-single-digit ms per channel in bf16.
+Measured (v5e, threaded-args timing, 2026-08-16/17): the XLA gather path
+costs 243 ms per single-channel 160^3 warp of a 192^3 volume and +65 ms
+per extra channel (824 ms at 10 channels). This kernel: 31 ms/channel
+bf16 single-channel, 180 ms for the 10-channel fused wall warp at the
+(8,8,32) tile, 94 ms/channel fp32 HIGHEST (exact to 2.4e-7), 23.6 ms
+nearest on compact labels (bit-exact in bf16).
 """
 
 from __future__ import annotations

@@ -8,8 +8,8 @@ measurement 2026-08-16 — always thread benchmark inputs, a zero-arg jit
 constant-folds to a 12 ms memcpy). The HBM-blocked Pallas kernel
 evaluates the same warp as hat-weight MXU contractions over streamed
 source blocks: 31 ms/channel bf16, 94 ms/channel fp32 (exact to 2.4e-7),
-197 ms for the generator's 10-channel fused target warp at the (8,8,32)
-tile.
+180 ms for the generator's 10-channel fused target warp at the (8,8,32)
+tile with channel-pair packing.
 
 Routing (static at trace time, so the jitted generator stays one graph):
 - linear float warps with 3-D grid coordinates -> Pallas blocks kernel
