@@ -14,9 +14,10 @@ tile with channel-pair packing.
 Routing (static at trace time, so the jitted generator stays one graph):
 - linear float warps with 3-D grid coordinates -> Pallas blocks kernel
   (bf16 in approx/synthesis mode, fp32 HIGHEST otherwise);
-- nearest label warps -> XLA gather (41.5 ms beats the indicator-weight
-  kernel's 94 ms);
-- CPU backend or non-grid coordinate sets -> XLA gather.
+- nearest warps of COMPACT label volumes (values < 256) -> blocks kernel
+  with bf16 indicator weights, bit-exact, 23.6 ms vs XLA's 41.5 ms;
+- CPU backend, non-grid coordinate sets, or wide-valued nearest -> XLA
+  gather.
 
 Patch extents come from `plan_trim` over the generator's affine bounds
 plus an SVF spread margin; coordinates beyond the static patch clamp to
