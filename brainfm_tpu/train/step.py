@@ -104,7 +104,9 @@ def make_train_step(model, cfg, weight_dict, loss_fn: Callable, optimizer,
         (total, losses), grads = jax.value_and_grad(
             loss_and_metrics, has_aux=True)(state.params, batch)
 
-        # skip non-finite updates (parity: engine.py:131-145)
+        # skip non-finite updates (parity: engine.py:131-145). The reference
+        # hard-skips the whole optimizer.step, so on a bad batch params AND
+        # opt state (Adam moments, bias-correction count) must be untouched.
         finite = jnp.isfinite(total)
         gleaves = jax.tree.leaves(grads)
         for g in gleaves:
@@ -117,6 +119,8 @@ def make_train_step(model, cfg, weight_dict, loss_fn: Callable, optimizer,
         updates, new_opt = optimizer.update(grads, opt_state, state.params)
         updates = jax.tree.map(lambda u: jnp.where(finite, u, 0.0), updates)
         new_params = optax.apply_updates(state.params, updates)
+        new_opt = jax.tree.map(lambda new, old: jnp.where(finite, new, old),
+                               new_opt, opt_state)
         new_state = TrainState(new_params, new_opt, state.step + 1)
         metrics = dict(losses)
         metrics["loss_total"] = total
@@ -168,6 +172,8 @@ def make_twostage_train_step(pathol_model, task_model, cfg, weight_dict,
         updates, new_opt = optimizer.update(grads, opt_state, state.params)
         updates = jax.tree.map(lambda u: jnp.where(finite, u, 0.0), updates)
         new_params = optax.apply_updates(state.params, updates)
+        new_opt = jax.tree.map(lambda new, old: jnp.where(finite, new, old),
+                               new_opt, opt_state)
         metrics = dict(losses)
         metrics["loss_total"] = total
         metrics["skipped"] = 1.0 - finite.astype(jnp.float32)

@@ -104,10 +104,22 @@ def test_nan_skip():
     params = model.init(jax.random.PRNGKey(0), x[0])
     state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
     step = make_train_step(model, cfg, weight_dict, loss_fn, opt, donate=False)
+    # one good step first so Adam moments/count are non-trivial before the
+    # skip (the reference's hard skip leaves optimizer state untouched too)
+    good = {"samples": {"input": x},
+            "targets": {"T1": jnp.zeros((1, 1, *size, 1))}}
+    state, m0 = step(state, good, jnp.float32(1e-3), jnp.float32(0.0))
+    assert float(m0["skipped"]) == 0.0
     new_state, metrics = step(state, batch, jnp.float32(1e-3), jnp.float32(0.0))
     assert float(metrics["skipped"]) == 1.0
     for a, b in zip(jax.tree.leaves(state.params),
                     jax.tree.leaves(new_state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # opt state (moments AND bias-correction count) must be untouched:
+    # a burst of bad batches must not decay moments or advance Adam's t
+    # (parity: engine.py:131-145 — optimizer.step is never called)
+    for a, b in zip(jax.tree.leaves(state.opt_state),
+                    jax.tree.leaves(new_state.opt_state)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
