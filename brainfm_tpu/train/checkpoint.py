@@ -20,8 +20,14 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 
-def save_checkpoint(ckpt_dir: str, step: int, state, extra: dict | None = None):
-    """Save params/opt_state/step (+ json-able extras) at `ckpt_dir/step`."""
+def save_checkpoint(ckpt_dir: str, step: int, state, extra: dict | None = None,
+                    keep: int = 0):
+    """Save params/opt_state/step (+ json-able extras) at `ckpt_dir/step`.
+
+    `keep`: if >0, garbage-collect older step checkpoints so at most `keep`
+    ckpt_* dirs remain (the reference keeps a rolling 2: the live
+    brainfm_pretrained.pth + its _bk rename, scripts/train.py:196-198;
+    best-checkpoint dirs are never collected)."""
     if jax.process_index() != 0 and jax.process_count() > 1:
         pass  # orbax handles multihost; single-host master-only is implicit
     ckpt_dir = os.path.abspath(ckpt_dir)
@@ -37,7 +43,53 @@ def save_checkpoint(ckpt_dir: str, step: int, state, extra: dict | None = None):
 
         with open(os.path.join(path, "extra.json"), "w") as f:
             json.dump(extra, f)
+    if keep > 0:
+        import shutil
+
+        old = sorted(glob.glob(os.path.join(ckpt_dir, "ckpt_[0-9]*")))[:-keep]
+        for p in old:
+            shutil.rmtree(p, ignore_errors=True)
     return path
+
+
+def save_best_checkpoint(ckpt_dir: str, step: int, state,
+                         extra: dict | None = None):
+    """Save the new best checkpoint at `ckpt_dir/ckpt_best`, renaming the
+    previous best to ckpt_best_bk first (parity: the pre-save rename of
+    brainfm_pretrained.pth -> brainfm_pretrained_bk.pth,
+    /root/reference/scripts/train.py:196-198)."""
+    import shutil
+
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    os.makedirs(ckpt_dir, exist_ok=True)
+    best = os.path.join(ckpt_dir, "ckpt_best")
+    bk = os.path.join(ckpt_dir, "ckpt_best_bk")
+    if os.path.isdir(best):
+        shutil.rmtree(bk, ignore_errors=True)
+        os.rename(best, bk)
+    ckptr = ocp.StandardCheckpointer()
+    payload = {"params": state.params, "opt_state": state.opt_state,
+               "step": np.asarray(state.step)}
+    ckptr.save(best, payload, force=True)
+    ckptr.wait_until_finished()
+    if extra:
+        import json
+
+        with open(os.path.join(best, "extra.json"), "w") as f:
+            json.dump(extra, f)
+    return best
+
+
+def read_extra(path: str) -> dict:
+    """Read the json extras (epoch, best_val_stats, ...) saved next to a
+    checkpoint; {} if absent."""
+    import json
+
+    p = os.path.join(os.path.abspath(path), "extra.json")
+    if os.path.isfile(p):
+        with open(p) as f:
+            return json.load(f)
+    return {}
 
 
 def latest_checkpoint(ckpt_dir: str):

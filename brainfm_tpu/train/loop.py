@@ -69,12 +69,55 @@ def apply_condition(batch, condition: str | None):
     return out
 
 
+def make_eval_step(model, cfg, weight_dict, loss_fn):
+    """Jitted validation step: forward + criterion, no grad."""
+    from ..models.build import apply_processors
+    from ..models.criterion import weighted_total
+
+    def per_item(params, samples, targets):
+        outputs = apply_processors(model.apply(params, samples["input"]), cfg)
+        return loss_fn(outputs, targets, samples)
+
+    def step(params, batch):
+        losses = jax.vmap(lambda s, t: per_item(params, s, t))(
+            batch["samples"], batch["targets"])
+        losses = {k: jnp.mean(v) for k, v in losses.items()}
+        total = weighted_total(losses, weight_dict)
+        losses["loss_total"] = total
+        return losses
+
+    return jax.jit(step)
+
+
+def make_val_set(bank, scfg, tasks, input_modes, knobs, seed: int,
+                 n_items: int = 2, batch_items: int = 1):
+    """A fixed-seed set of synthetic validation batches — reproducible
+    across epochs and resumes (the val analog of the reference's held-out
+    split; synthesized since training data itself is synthetic)."""
+    key = jax.random.PRNGKey(100_000 + seed)
+    rng = np.random.default_rng(seed + 7)
+    batches = []
+    for _ in range(n_items):
+        key, *iks = jax.random.split(key, batch_items + 1)
+        subj = bank.to_device(int(rng.integers(len(bank))))
+        mode = input_modes[int(rng.integers(len(input_modes)))]
+        batches.append(make_batch(iks, subj, scfg, tasks, mode, knobs[mode]))
+    return batches
+
+
 def train(cfg, model, weight_dict, loss_fn, bank, out_dir: str,
           itr_per_epoch: int = 100, batch_items: int = 1,
           input_modes=("synth",), seed: int = 0, log_itr: int = 10,
-          resume: str | None = None, vis_itr: int = 0):
+          resume: str | None = None, vis_itr: int = 0, val_itr: int = 1,
+          n_val_items: int = 2, keep_ckpt: int = 2):
     """Run the full training loop. `bank`: SubjectBank; `cfg`: processed
-    trainer config (with .generator etc.)."""
+    trainer config (with .generator etc.).
+
+    Validation + best checkpoint (parity: best_val_stats carried in every
+    checkpoint and the pre-save backup rename, scripts/train.py:173,196-214):
+    every `val_itr` epochs the fixed-seed val set is scored; a new best
+    val loss_total saves ckp/ckpt_best (previous best renamed to
+    ckpt_best_bk). `keep_ckpt` bounds the rolling epoch checkpoints."""
     os.makedirs(out_dir, exist_ok=True)
     logger = setup_logging(os.path.join(out_dir, "train.log"))
     scfg = SynthStatic.from_cfg(cfg)
@@ -87,12 +130,15 @@ def train(cfg, model, weight_dict, loss_fn, bank, out_dir: str,
     state = TrainState(params, optimizer.init(params),
                        jnp.zeros((), jnp.int32))
     start_epoch = 0
+    best_val_stats = None
     if resume:
-        from .checkpoint import load_checkpoint, step_from_path
+        from .checkpoint import load_checkpoint, read_extra, step_from_path
 
         state = load_checkpoint(resume, state)
         start_epoch = int(state.step) // itr_per_epoch
-        logger.info(f"resumed from {resume} at epoch {start_epoch}")
+        best_val_stats = read_extra(resume).get("best_val_stats")
+        logger.info(f"resumed from {resume} at epoch {start_epoch} "
+                    f"(best_val_stats: {best_val_stats})")
 
     lr_sched, wd_sched = build_schedules(cfg, itr_per_epoch)
     step_fn = make_train_step(model, cfg, weight_dict, loss_fn, optimizer)
@@ -113,6 +159,8 @@ def train(cfg, model, weight_dict, loss_fn, bank, out_dir: str,
     rng_host = np.random.default_rng(seed)
 
     stats: dict = {}
+    val_batches = None  # built lazily at the first validation epoch
+    eval_step = None
     for epoch in range(start_epoch, n_epochs):
         mlog = MetricLogger()
         t_ep = time.time()
@@ -157,10 +205,38 @@ def train(cfg, model, weight_dict, loss_fn, bank, out_dir: str,
                     {k: v for k, v in outs.items() if k != "feat"})
         stats = {f"train_{k}": m.global_avg for k, m in mlog.meters.items()}
         stats.update({"epoch": epoch, "epoch_time": time.time() - t_ep})
+
+        if val_itr and (epoch + 1) % val_itr == 0:
+            if val_batches is None:
+                val_batches = make_val_set(bank, scfg, tasks, input_modes,
+                                           knobs, seed, n_val_items,
+                                           batch_items)
+                eval_step = make_eval_step(model, cfg, weight_dict, loss_fn)
+            acc: dict = {}
+            for vb in val_batches:
+                vl = eval_step(state.params, vb)
+                for k, v in vl.items():
+                    acc[k] = acc.get(k, 0.0) + float(v) / len(val_batches)
+            stats.update({f"val_{k}": v for k, v in acc.items()})
+            logger.info(f"epoch {epoch} val loss {acc['loss_total']:.4f}")
+            if (best_val_stats is None
+                    or acc["loss_total"] < best_val_stats["loss_total"]):
+                best_val_stats = acc
+                from .checkpoint import save_best_checkpoint
+
+                save_best_checkpoint(
+                    os.path.join(out_dir, "ckp"),
+                    (epoch + 1) * itr_per_epoch, state,
+                    extra={"epoch": epoch, "best_val_stats": best_val_stats})
+                logger.info(f"epoch {epoch} new best "
+                            f"({acc['loss_total']:.4f}) -> ckp/ckpt_best")
+
         write_log_line(os.path.join(out_dir, "log.txt"), stats)
         save_checkpoint(os.path.join(out_dir, "ckp"),
                         (epoch + 1) * itr_per_epoch, state,
-                        extra={"epoch": epoch})
+                        extra={"epoch": epoch,
+                               "best_val_stats": best_val_stats},
+                        keep=keep_ckpt)
     if stats:
         from ..utils.logging import plot_loss
 
