@@ -194,6 +194,24 @@ class SynthDataset:
     def __len__(self):
         return len(self.bank)
 
+    def sample_weight(self, idx: int) -> float:
+        """Per-subject sampling weight (parity hook:
+        DistributedWeightedSampler's `dataset.sample_weight` multinomial,
+        utils/misc.py:533-542). Uniform unless `subject_weights` is set."""
+        w = getattr(self, "subject_weights", None)
+        return float(w[idx]) if w is not None else 1.0
+
+    def weights_array(self):
+        w = getattr(self, "subject_weights", None)
+        return None if w is None else np.asarray(w, np.float64)
+
+    def reseed(self, seed: int):
+        """Re-seed the host-side modality roulette so an epoch's draws are
+        reproducible from (seed, epoch) — the determinism upgrade over the
+        reference's time-based per-epoch reseed (Trainer/engine.py:73-76)."""
+        self._rng = np.random.default_rng(
+            (abs(hash(self.name)) % (2 ** 31), seed))
+
     def get(self, idx: int, key):
         """One training item for subject idx: (target, samples[S,...])."""
         subject = self.bank.to_device(idx)
@@ -223,14 +241,21 @@ class ConcatStream:
                  seed: int = 0):
         self.names = list(datasets)
         self.datasets = datasets
+        self.seed = seed
         sizes = [len(datasets[n]) for n in self.names]
         self.sampler = WeightedSubjectSampler(
             sizes, probs, seed=seed,
-            process_index=jax.process_index())
+            process_index=jax.process_index(),
+            subject_weights=[datasets[n].weights_array() for n in self.names])
 
     def epoch(self, epoch_idx: int, count: int, base_key):
-        """Yield (dataset_name, target, samples) for `count` items."""
+        """Yield (dataset_name, target, samples) for `count` items.
+        Fully reproducible from (seed, epoch_idx, base_key): the subject
+        plan is epoch-seeded and each dataset's modality roulette is
+        re-seeded at epoch start."""
         self.sampler.set_epoch(epoch_idx)
+        for n in self.names:
+            self.datasets[n].reseed(self.seed + epoch_idx)
         for i, (d, s) in enumerate(self.sampler.sample(count)):
             key = jax.random.fold_in(base_key, epoch_idx * count + i)
             name = self.names[d]
@@ -271,7 +296,9 @@ def build_datasets(gen_cfg, tasks, device=None) -> Dict[str, SynthDataset]:
         static = dataclasses.replace(
             static, all_samples=1, mild_samples=min(static.mild_samples, 1))
 
-    names = list(gen_cfg.get("dataset_names") or ["ADHD"])
+    # empty dataset_names means ALL datasets (parity: reference
+    # cfgs/generator/train/brain_id.yaml:5 "None for all")
+    names = list(gen_cfg.get("dataset_names") or list(DATASET_SETUPS))
     probs = gen_cfg.get("dataset_probs")
     input_prob = gen_cfg.get("modality_probs") or gen_cfg.get("input_prob")
     debug = 0 if (gen_cfg.get("data_root")

@@ -19,12 +19,23 @@ class WeightedSubjectSampler:
     DistributedWeightedSampler (utils/misc.py:523-549)."""
 
     def __init__(self, dataset_sizes, dataset_probs=None, seed: int = 0,
-                 process_index: int = 0):
+                 process_index: int = 0, subject_weights=None):
+        """`subject_weights`: optional per-dataset arrays of per-subject
+        weights (the reference's `dataset.sample_weight` multinomial hook,
+        utils/misc.py:533-542); None entries mean uniform."""
         self.sizes = list(dataset_sizes)
         n = len(self.sizes)
         probs = dataset_probs if dataset_probs else [1.0 / n] * n
         self.probs = np.asarray(probs, np.float64)
         self.probs = self.probs / self.probs.sum()
+        self.subject_weights = []
+        for i, w in enumerate(subject_weights or [None] * n):
+            if w is None:
+                self.subject_weights.append(None)
+            else:
+                w = np.asarray(w, np.float64)
+                assert w.shape == (self.sizes[i],)
+                self.subject_weights.append(w / w.sum())
         self.seed = seed
         self.process_index = process_index
         self.epoch = 0
@@ -37,7 +48,15 @@ class WeightedSubjectSampler:
         rng = np.random.default_rng(
             (self.seed, self.epoch, self.process_index))
         ds = rng.choice(len(self.sizes), size=count, p=self.probs)
-        return [(int(d), int(rng.integers(self.sizes[d]))) for d in ds]
+        out = []
+        for d in ds:
+            w = self.subject_weights[d]
+            if w is None:
+                idx = rng.integers(self.sizes[d])
+            else:
+                idx = rng.choice(self.sizes[d], p=w)
+            out.append((int(d), int(idx)))
+        return out
 
 
 def choose_modality(rng: np.random.Generator, input_prob: dict,

@@ -28,13 +28,8 @@ from .schedules import build_schedules
 from .step import TrainState, build_optimizer, make_train_step
 
 
-def make_batch(keys, subject, scfg, tasks, input_mode, knobs):
-    """Synthesize B items (one per key) and stack into a train batch."""
-    targets, samples = [], []
-    for k in keys:
-        t, s = synth_item(k, subject, scfg, tasks, input_mode, knobs)
-        targets.append(t)
-        samples.append(s)
+def stack_items(targets, samples):
+    """Stack per-item (target, samples) pytrees into one train batch."""
     tgt = jax.tree.map(lambda *xs: jnp.stack(xs)[:, None] if xs[0].ndim >= 3
                        else jnp.stack(xs), *targets)
     smp = jax.tree.map(lambda *xs: jnp.stack(xs), *samples)
@@ -42,6 +37,16 @@ def make_batch(keys, subject, scfg, tasks, input_mode, knobs):
     tgt = {k: v for k, v in tgt.items()
            if k != "pathology_prob" and not k.startswith("surface_")}
     return {"targets": tgt, "samples": smp}
+
+
+def make_batch(keys, subject, scfg, tasks, input_mode, knobs):
+    """Synthesize B items (one per key) and stack into a train batch."""
+    targets, samples = [], []
+    for k in keys:
+        t, s = synth_item(k, subject, scfg, tasks, input_mode, knobs)
+        targets.append(t)
+        samples.append(s)
+    return stack_items(targets, samples)
 
 
 def apply_condition(batch, condition: str | None):
@@ -109,9 +114,16 @@ def train(cfg, model, weight_dict, loss_fn, bank, out_dir: str,
           itr_per_epoch: int = 100, batch_items: int = 1,
           input_modes=("synth",), seed: int = 0, log_itr: int = 10,
           resume: str | None = None, vis_itr: int = 0, val_itr: int = 1,
-          n_val_items: int = 2, keep_ckpt: int = 2):
+          n_val_items: int = 2, keep_ckpt: int = 2, stream=None):
     """Run the full training loop. `bank`: SubjectBank; `cfg`: processed
     trainer config (with .generator etc.).
+
+    `stream`: optional synth.datasets.ConcatStream — the multi-dataset
+    registry path (parity: build_datasets + ConcatDataset prob mixing +
+    per-dataset modality roulette, Generator/__init__.py:18,
+    Generator/utils.py:18-29). When given it replaces the flat-bank
+    subject sampling; `bank` may be None (val set then draws from the
+    stream's first dataset).
 
     Validation + best checkpoint (parity: best_val_stats carried in every
     checkpoint and the pre-save backup rename, scripts/train.py:173,196-214):
@@ -149,8 +161,12 @@ def train(cfg, model, weight_dict, loss_fn, bank, out_dir: str,
     # datasets.py:563-589)
     from ..synth.sampler import WeightedSubjectSampler, choose_modality
 
-    sampler = WeightedSubjectSampler([len(bank)], seed=seed,
-                                     process_index=jax.process_index())
+    if stream is not None and bank is None:
+        bank = stream.datasets[stream.names[0]].bank
+    sampler = None
+    if stream is None:
+        sampler = WeightedSubjectSampler([len(bank)], seed=seed,
+                                         process_index=jax.process_index())
     input_prob = dict(cfg.get("input_prob") or {}) if hasattr(cfg, "get") \
         else {}
 
@@ -164,23 +180,33 @@ def train(cfg, model, weight_dict, loss_fn, bank, out_dir: str,
     for epoch in range(start_epoch, n_epochs):
         mlog = MetricLogger()
         t_ep = time.time()
-        sampler.set_epoch(epoch)
-        subj_plan = sampler.sample(itr_per_epoch)
+        if stream is not None:
+            item_iter = stream.epoch(epoch, itr_per_epoch * batch_items,
+                                     jax.random.fold_in(key, epoch))
+        else:
+            sampler.set_epoch(epoch)
+            subj_plan = sampler.sample(itr_per_epoch)
         for it in range(itr_per_epoch):
             gstep = epoch * itr_per_epoch + it
-            key, *item_keys = jax.random.split(key, batch_items + 1)
-            subj = bank.to_device(subj_plan[it][1])
-            if input_prob:
-                avail = set(bank.subjects[subj_plan[it][1]].keys())
-                mode = choose_modality(rng_host, input_prob, avail)
-                if mode != "synth" and mode in subj:
-                    subj = dict(subj)
-                    subj["image"] = subj[mode]
-                if mode not in knobs:
-                    knobs[mode] = build_knobs_stack(scfg, mode)
+            if stream is not None:
+                items = [next(item_iter) for _ in range(batch_items)]
+                batch = stack_items([t for _, t, _ in items],
+                                    [s for _, _, s in items])
             else:
-                mode = input_modes[rng_host.integers(len(input_modes))]
-            batch = make_batch(item_keys, subj, scfg, tasks, mode, knobs[mode])
+                key, *item_keys = jax.random.split(key, batch_items + 1)
+                subj = bank.to_device(subj_plan[it][1])
+                if input_prob:
+                    avail = set(bank.subjects[subj_plan[it][1]].keys())
+                    mode = choose_modality(rng_host, input_prob, avail)
+                    if mode != "synth" and mode in subj:
+                        subj = dict(subj)
+                        subj["image"] = subj[mode]
+                    if mode not in knobs:
+                        knobs[mode] = build_knobs_stack(scfg, mode)
+                else:
+                    mode = input_modes[rng_host.integers(len(input_modes))]
+                batch = make_batch(item_keys, subj, scfg, tasks, mode,
+                                   knobs[mode])
             batch = apply_condition(batch, cfg.get("condition"))
             lr = jnp.float32(lr_sched[min(gstep, len(lr_sched) - 1)])
             wd = jnp.float32(wd_sched[min(gstep, len(wd_sched) - 1)])

@@ -99,18 +99,18 @@ def main():
     _, weight_dict, loss_fn = make_criterion(cfg)
 
     out_dir = args.out_dir or update_out_dir(cfg).out_dir
-    bank = build_bank(cfg)
-    # real-image modality roulette (parity: read_input probabilities,
-    # Generator/datasets.py:563-589): a single flat table works for the
-    # one-bank CLI path; per-dataset tables live in synth.datasets
-    if cfg.get("modality_probs") and not cfg.get("input_prob"):
-        probs = cfg.modality_probs
-        first = next(iter(probs.values())) if hasattr(probs, "values") else None
-        if hasattr(first, "get"):
-            cfg.input_prob = dict(first)
+    # multi-dataset registry: per-dataset banks, modality tables, and
+    # probability-weighted mixing (parity: build_datasets scripts/
+    # train.py:124 + ConcatDataset + DistributedWeightedSampler)
+    from brainfm_tpu.synth.datasets import build_datasets
+
+    datasets = build_datasets(cfg, cfg.tasks)
+    stream = datasets["_concat"]
+    n_subj = {n: len(d) for n, d in datasets.items() if n != "_concat"}
+    print("datasets:", n_subj)
     itr = 2 if args.debug else args.itr_per_epoch
-    state = train(cfg, model, weight_dict, loss_fn, bank, out_dir,
-                  itr_per_epoch=itr, resume=args.resume)
+    state = train(cfg, model, weight_dict, loss_fn, None, out_dir,
+                  itr_per_epoch=itr, resume=args.resume, stream=stream)
     print("training done; final step", int(state.step))
 
 

@@ -1,0 +1,110 @@
+"""Registry-driven training: build_datasets -> ConcatStream -> train loop
+(parity: scripts/train.py:124 build_datasets + ConcatDataset prob mixing,
+Generator/utils.py:18-29 + DistributedWeightedSampler per-subject weights,
+utils/misc.py:523-549)."""
+
+import numpy as np
+
+import jax
+
+from brainfm_tpu.config import AttrDict
+from brainfm_tpu.models import build_model
+from brainfm_tpu.models.criterion import make_criterion
+from brainfm_tpu.synth.datasets import build_datasets
+from brainfm_tpu.synth.sampler import WeightedSubjectSampler
+from brainfm_tpu.train.loop import train
+
+
+def _gen_cfg(size=(16, 16, 16)):
+    return AttrDict.from_nested({
+        "task": {"T1": True},
+        "generator": {"left_hemis_only": False, "size": list(size),
+                      "max_rotation": 10, "max_shear": 0.1,
+                      "max_scaling": 0.1, "nonlinear_transform": True},
+        "losses": {"uncertainty": None, "image_grad": False},
+        "backbone": "unet3d", "f_maps": 8, "num_levels": 2, "num_groups": 8,
+        "layer_order": "gcl", "unit_feat": False, "task_f_maps": [8],
+        "label_list_segmentation_with_csf": [0, 14, 15],
+        "weights": {"image": 1.0},
+        "optimizer": "adamw", "lr": 1e-3, "weight_decay": 0.0,
+        "clip_max_norm": 1.0, "n_epochs": 2, "all_samples": 1,
+        "mild_samples": 1,
+        "dataset_names": ["ADHD", "HCP"], "dataset_probs": [0.75, 0.25],
+        "bank_shape": [24, 24, 24],
+    })
+
+
+def _build_two_datasets(cfg):
+    ds = build_datasets(cfg, tasks=("T1",))
+    # shrink the procedural debug banks to the test crop scale
+    for n in ("ADHD", "HCP"):
+        d = ds[n]
+        d.bank.subjects.clear()
+        d.bank.bank_shape = (24, 24, 24)
+        d.bank.add_debug_subject(seed=hash(n) % 100, extent=(20, 20, 20))
+        d.bank.add_debug_subject(seed=hash(n) % 100 + 1, extent=(20, 20, 20))
+    # rebuild the concat with the resized banks
+    from brainfm_tpu.synth.datasets import ConcatStream
+
+    ds["_concat"] = ConcatStream({n: ds[n] for n in ("ADHD", "HCP")},
+                                 list(cfg.dataset_probs))
+    return ds
+
+
+def test_stream_epoch_mixing_and_reproducibility():
+    cfg = _gen_cfg()
+    ds = _build_two_datasets(cfg)
+    stream = ds["_concat"]
+
+    # dataset-probability mixing: the epoch plan respects dataset_probs
+    stream.sampler.set_epoch(0)
+    plan = stream.sampler.sample(400)
+    frac_adhd = np.mean([d == 0 for d, _ in plan])
+    assert 0.65 < frac_adhd < 0.85  # nominal 0.75
+
+    # epoch-reproducible: same epoch -> identical items; different epoch ->
+    # different plan
+    key = jax.random.PRNGKey(0)
+    a = [(n, float(np.asarray(s["input"]).sum()))
+         for n, _, s in stream.epoch(1, 3, key)]
+    b = [(n, float(np.asarray(s["input"]).sum()))
+         for n, _, s in stream.epoch(1, 3, key)]
+    c = [(n, float(np.asarray(s["input"]).sum()))
+         for n, _, s in stream.epoch(2, 3, key)]
+    assert a == b
+    assert a != c
+
+
+def test_subject_weight_hook():
+    """Per-subject weighted sampling (reference sample_weight multinomial)."""
+    s = WeightedSubjectSampler([4], seed=0,
+                               subject_weights=[[0.0, 0.0, 1.0, 3.0]])
+    s.set_epoch(0)
+    idxs = [i for _, i in s.sample(400)]
+    counts = np.bincount(idxs, minlength=4)
+    assert counts[0] == 0 and counts[1] == 0
+    assert counts[3] > counts[2] * 2  # ~3x
+
+    # uniform default unchanged
+    s2 = WeightedSubjectSampler([4], seed=0)
+    s2.set_epoch(0)
+    counts2 = np.bincount([i for _, i in s2.sample(400)], minlength=4)
+    assert (counts2 > 50).all()
+
+
+def test_train_two_epochs_over_two_datasets(tmp_path):
+    """2 epochs over 2 debug datasets with prob mixing through the real
+    train loop (the VERDICT next-#5 done criterion)."""
+    cfg = _gen_cfg()
+    ds = _build_two_datasets(cfg)
+    cfg2, model = build_model(cfg)
+    _, weight_dict, loss_fn = make_criterion(cfg2)
+
+    out = str(tmp_path / "run")
+    state = train(cfg2, model, weight_dict, loss_fn, None, out,
+                  itr_per_epoch=2, batch_items=1, seed=0, log_itr=1,
+                  val_itr=1, n_val_items=1, stream=ds["_concat"])
+    assert int(state.step) == 4
+    import os
+
+    assert os.path.exists(os.path.join(out, "ckp", "ckpt_best"))
