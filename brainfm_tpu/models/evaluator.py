@@ -8,6 +8,8 @@ formulation (11x11 gaussian window, K1=0.01, K2=0.03).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -42,9 +44,13 @@ def l1(pred, target, mask=None):
     return jnp.mean(d)
 
 
-def normalized_l2(pred, target, eps: float = 1e-12):
-    """(parity: bf_normalized_l2 — relative L2 of the bias-field estimate)"""
-    return jnp.linalg.norm(pred - target) / (jnp.linalg.norm(target) + eps)
+def normalized_l2(pred, target, eps: float = 1e-7):
+    """(parity: get_normalized_l2, evaluator.py:99-102 — the prediction is
+    first optimally SCALED onto the target, w = <o,t>/<o,o>, so the metric
+    measures shape error of the bias-field estimate, not its gain)"""
+    w = jnp.sum(pred * target) / (jnp.sum(pred * pred) + eps)
+    return jnp.sqrt(jnp.sum((w * pred - target) ** 2)
+                    / (jnp.sum(target * target) + eps))
 
 
 def psnr(pred, target, data_range=None):
@@ -142,9 +148,63 @@ METRIC_MAP = {
     "ssim": ssim_normalized,
     "ms_ssim": ms_ssim_normalized,
     "normalized_l2": normalized_l2,
-    "corrected_l1": l1,  # bf_corrected_l1 (reference registry)
+    # bf_corrected_l1 maps to plain l1 in the reference too
+    # (evaluator.py:77 'bf_corrected_l1': self.get_l1) — the "corrected"
+    # refers to the INPUT being the bias-corrected image, computed upstream
+    "corrected_l1": l1,
     "dice": seg_dice,
 }
+
+# ---------------------------------------------------------------------------
+# File-pair evaluation protocol (parity: Evaluator.eval,
+# evaluator.py:147-195 + the module constants at evaluator.py:20-52).
+
+# the 33-label evaluation list (evaluator.py:20-22) — distinct from the
+# training 56-label list
+EVAL_LABELS = [0, 14, 15, 16, 24, 77, 85, 2, 3, 4, 7, 8, 10, 11, 12, 13,
+               17, 18, 26, 28, 41, 42, 43, 46, 47, 49, 50, 51, 52, 53, 54,
+               58, 60]
+N_NEUTRAL_EVAL = 7
+
+# left-hemisphere label list for hemisphere-prediction masking
+# (scripts/test.py:23-35)
+LEFT_HEMIS_LABELS = [0, 1, 2, 3, 4, 7, 8, 9, 10, 14, 15, 17, 31, 34, 36,
+                     38, 40, 42]
+
+
+def align_shape(a, b):
+    """Crop both volumes to the common leading shape
+    (parity: align_shape, evaluator.py:42-52)."""
+    if a.shape != b.shape:
+        s = min(a.shape[0], b.shape[0])
+        r = min(a.shape[1], b.shape[1])
+        c = min(a.shape[2], b.shape[2])
+        a = a[:s, :r, :c]
+        b = b[:s, :r, :c]
+    return a, b
+
+
+def label_onehot(label, labels=None):
+    """LUT one-hot over the evaluation label list -> (D,H,W,C)
+    (parity: get_onehot, evaluator.py:30-39; channel-last here)."""
+    labels = list(labels) if labels is not None else EVAL_LABELS
+    lut = np.zeros(10000, np.int32)
+    for i, lab in enumerate(labels):
+        lut[lab] = i
+    idx = lut[np.squeeze(np.asarray(label)).astype(np.int64)]
+    return jax.nn.one_hot(jnp.asarray(idx), len(labels))
+
+
+def hemis_mask_from(seg, regx):
+    """Left-hemisphere mask: voxels whose label is a left-hemisphere label
+    and whose predicted MNI x-coordinate is negative
+    (parity: scripts/test.py:29-35 `M = (S > 0) & (X < 0)`)."""
+    lut = np.zeros(10000, np.int32)
+    for i, lab in enumerate(LEFT_HEMIS_LABELS):
+        lut[lab] = i
+    s = lut[np.squeeze(np.asarray(seg)).astype(np.int64)]
+    x = np.squeeze(np.asarray(regx))
+    return ((s > 0) & (x < 0)).astype(np.float32)
 
 
 class Evaluator:
@@ -154,6 +214,66 @@ class Evaluator:
     def __init__(self, metric_names, labels=None):
         self.metric_names = list(metric_names)
         self.labels = labels
+
+    def eval_files(self, pred_path: str, target_path: str,
+                   clamp: bool = False, is_seg: bool = None,
+                   normalize: bool = False, add_mask: bool = False,
+                   flip: bool = False, kill_target_labels=(),
+                   hemis_mask=None):
+        """Full file-pair protocol (parity: Evaluator.eval,
+        evaluator.py:147-195): load both volumes, crop-align shapes,
+        optional sagittal flip of the prediction, zero-out killed labels,
+        target-mask the prediction (writing a *_masked companion), min-max
+        normalize, one-hot segmentations over the 33-label eval LUT, clamp
+        to [0,1], then score every configured metric."""
+        from ..utils.nifti import load_nifti, save_nifti
+
+        if is_seg is None:
+            is_seg = "label" in os.path.basename(pred_path)
+        pred, aff = load_nifti(pred_path)
+        target, _ = load_nifti(target_path)
+        if is_seg:
+            pred = np.rint(pred).astype(np.int32)
+            target = np.rint(target).astype(np.int32)
+        pred, target = align_shape(np.squeeze(pred), np.squeeze(target))
+        if flip:
+            pred = np.flip(pred, 0)
+        for lab in kill_target_labels:
+            target = np.where(target == lab, 0, target)
+            pred = np.where(pred == lab, 0, pred)
+        if hemis_mask is not None:
+            m = hemis_mask[: pred.shape[0], : pred.shape[1], : pred.shape[2]]
+            pred = pred * m
+            target = target * m
+        if add_mask and "_masked" not in pred_path:
+            pred = np.where(target == 0, 0, pred)
+            pred = np.where(pred < 0, 0, pred)
+            save_nifti(pred_path.split(".")[0] + "_masked.nii.gz",
+                       np.asarray(pred, np.float32), aff)
+        if normalize:
+            pred = (pred - np.min(pred)) / max(np.max(pred) - np.min(pred),
+                                               1e-12)
+        if is_seg:
+            pred_t = label_onehot(pred, self.labels)
+            target_t = label_onehot(target, self.labels)
+        else:
+            pred_t = jnp.asarray(pred, jnp.float32)
+            target_t = jnp.asarray(target, jnp.float32)
+        if clamp:
+            pred_t = jnp.clip(pred_t, 0.0, 1.0)
+            target_t = jnp.clip(target_t, 0.0, 1.0)
+
+        score = {}
+        for name in self.metric_names:
+            metric = name.rsplit("_", 1)[-1]
+            for long in ("ms_ssim", "normalized_l2", "corrected_l1"):
+                if name.endswith(long):
+                    metric = long
+            if metric == "dice":
+                score[name] = float(jnp.mean(dice(pred_t, target_t)))
+            else:
+                score[name] = float(METRIC_MAP[metric](pred_t, target_t))
+        return score
 
     def eval(self, outputs: dict, targets: dict):
         res = {}

