@@ -118,19 +118,33 @@ void convert_pad(const uint8_t* src, bool le, const int64_t in_dim[3],
   const bool scale = (slope != 0.0f && slope != 1.0f) || inter != 0.0f;
   const float s = slope == 0.0f ? 1.0f : slope;
   if (le) {
-    // fast path: host is little-endian; direct typed reads vectorize
+    // fast path: host is little-endian; direct typed reads vectorize.
+    // The F-order -> C-order layout flip is a 3-D transpose: a naive
+    // x-inner loop scatters every voxel at stride oy*oz (16 KB at 64^3)
+    // and each write misses cache — measured 5x SLOWER than the numpy
+    // reader. Tile the (z,x) transpose per y-plane so a 32x32 tile's
+    // write lines stay resident (classic blocked transpose).
     const SRC* tsrc = reinterpret_cast<const SRC*>(src);
-    for (int64_t z = 0; z < cz; ++z) {
-      for (int64_t y = 0; y < cy; ++y) {
-        const SRC* row = tsrc + z * iy * ix + y * ix;
-        float* col = dst + y * oz + z;
-        const int64_t stride = oy * oz;
-        if (scale) {
-          for (int64_t x = 0; x < cx; ++x)
-            col[x * stride] = static_cast<float>(row[x]) * s + inter;
-        } else {
-          for (int64_t x = 0; x < cx; ++x)
-            col[x * stride] = static_cast<float>(row[x]);
+    const int64_t BT = 32;
+    const int64_t ostride = oy * oz;
+    for (int64_t y = 0; y < cy; ++y) {
+      const SRC* plane = tsrc + y * ix;  // + z*iy*ix + x
+      float* oplane = dst + y * oz;      // + x*oy*oz + z
+      for (int64_t x0 = 0; x0 < cx; x0 += BT) {
+        const int64_t x1 = x0 + BT < cx ? x0 + BT : cx;
+        for (int64_t z0 = 0; z0 < cz; z0 += BT) {
+          const int64_t z1 = z0 + BT < cz ? z0 + BT : cz;
+          for (int64_t z = z0; z < z1; ++z) {
+            const SRC* row = plane + z * iy * ix;
+            float* ocol = oplane + z;
+            if (scale) {
+              for (int64_t x = x0; x < x1; ++x)
+                ocol[x * ostride] = static_cast<float>(row[x]) * s + inter;
+            } else {
+              for (int64_t x = x0; x < x1; ++x)
+                ocol[x * ostride] = static_cast<float>(row[x]);
+            }
+          }
         }
       }
     }
