@@ -43,8 +43,9 @@ def emit_json(vols_per_sec):
         "metric": "tiled_inference_vols_per_sec_per_chip",
         "value": round(vols_per_sec, 4),
         "unit": "volumes/s (220^3 @1mm, 8x160^3 tiles stride 80, joint "
-                "8-task UNet3D f64 L5; vs_baseline = ratio to torch "
-                "reference on 8-thread CPU, 0.0016 vol/s — see BASELINE.md)",
+                "8-task UNet3D f64 L6 flagship; vs_baseline = ratio to "
+                "torch reference on 8-thread CPU measured at L5 (L6 would "
+                "be slower), 0.0016 vol/s — see BASELINE.md)",
         "vs_baseline": round(vols_per_sec / baseline, 4),
     }))
     sys.stdout.flush()
@@ -62,7 +63,7 @@ def main():
                  "registration": True, "bias_field": True},
         "generator": {"left_hemis_only": False, "size": [160, 160, 160]},
         "losses": {"uncertainty": None},
-        "backbone": "unet3d", "f_maps": 64, "num_levels": 5, "num_groups": 8,
+        "backbone": "unet3d", "f_maps": 64, "num_levels": 6, "num_groups": 8,
         "layer_order": "gcl", "unit_feat": False, "task_f_maps": [64],
         "max_surf_distance": 3.0,
     })
@@ -82,17 +83,31 @@ def main():
         # block; a small dependent transfer is the only reliable fence
         return np.asarray(out["T1"][0, 0, 0])
 
-    # warmup/compile (fused single-dispatch scan over the tile grid)
+    # warmup/compile (fused single-dispatch scan over the tile grid).
+    # bf16 canvas accumulation is the opt-in speed mode (~0.4% blend
+    # error; evaluate_tiled defaults to fp32 reference-parity blending)
     out = inf.evaluate_tiled(vol, stride=(80, 80, 80),
-                             win_size=(160, 160, 160), run_postprocess=False)
+                             win_size=(160, 160, 160), run_postprocess=False,
+                             accum_dtype=jnp.bfloat16)
     sync(out)
+    # constant-folding guard (ARCHITECTURE.md measurement trap): a second,
+    # different input must yield a different output — a zero-arg/closed-
+    # over jit would constant-fold and return identical values
+    vol2 = vol.at[0, 0, 0].set(vol[0, 0, 0] + 0.5)
+    out2 = inf.evaluate_tiled(vol2, stride=(80, 80, 80),
+                              win_size=(160, 160, 160),
+                              run_postprocess=False,
+                              accum_dtype=jnp.bfloat16)
+    assert not np.allclose(sync(out), sync(out2)), \
+        "bench inputs are being constant-folded — thread them as jit args"
 
     n_rep = 3
     t0 = time.time()
     for _ in range(n_rep):
         out = inf.evaluate_tiled(vol, stride=(80, 80, 80),
                                  win_size=(160, 160, 160),
-                                 run_postprocess=False)
+                                 run_postprocess=False,
+                                 accum_dtype=jnp.bfloat16)
         sync(out)
     dt = (time.time() - t0) / n_rep
     vols_per_sec = 1.0 / dt
@@ -103,6 +118,22 @@ def main():
     # primary metric (this cost us two timed-out bench runs on 2026-08-16)
     emit_json(vols_per_sec)
     budget = float(os.environ.get("BENCH_BUDGET_S", "460"))
+
+    # secondary: fp32 reference-parity blending (the evaluate_tiled
+    # default; the primary above is the bf16 speed mode)
+    if time.time() - T_START < budget:
+        out = inf.evaluate_tiled(vol, stride=(80, 80, 80),
+                                 win_size=(160, 160, 160),
+                                 run_postprocess=False)
+        sync(out)
+        t0 = time.time()
+        out = inf.evaluate_tiled(vol, stride=(80, 80, 80),
+                                 win_size=(160, 160, 160),
+                                 run_postprocess=False)
+        sync(out)
+        print(f"# tiled inference (fp32-parity blend): "
+              f"{(time.time()-t0)*1e3:.0f} ms / 220^3 volume",
+              file=sys.stderr)
 
     # secondary: generator throughput
     if time.time() - T_START > budget:
@@ -128,9 +159,10 @@ def main():
     print(f"# tiled inference: {dt * 1e3:.0f} ms / 220^3 volume "
           f"(8 tiles of 160^3, stride-80 plan)", file=sys.stderr)
 
-    # tertiary: training step at the single-chip crop (128^3 — the 160^3
-    # flagship crop needs >16 GB HBM even with remat; it trains spatially
-    # sharded across the mesh, see parallel/spatial.py)
+    # tertiary: flagship L6 training step at the single-chip crop (128^3;
+    # the 160^3 flagship crop fails single-chip compile (OOM) even with
+    # remat — it trains spatially sharded across the mesh 'space' axis,
+    # see parallel/spatial.py + tests/test_flagship_l6.py)
     if time.time() - T_START > budget:
         print("# train-step bench skipped (budget)", file=sys.stderr)
         return
@@ -156,7 +188,7 @@ def main():
                                          "image_grad", "bias_field_log",
                                          "distance", "registration",
                                          "registration_grad")},
-            "backbone": "unet3d", "f_maps": 64, "num_levels": 5,
+            "backbone": "unet3d", "f_maps": 64, "num_levels": 6,
             "num_groups": 8, "layer_order": "gcl", "unit_feat": False,
             "task_f_maps": [64], "max_surf_distance": 3.0,
             "label_list_segmentation_with_csf": [0, 14, 15, 16, 24, 77, 85],
@@ -193,7 +225,8 @@ def main():
             tstate, m = tstep(tstate, tb, 1e-4, 0.0)
         np.asarray(m["loss_total"])
         print(f"# train step: {(time.time()-t0)/3*1e3:.0f} ms @128^3 joint "
-              f"f64 L5 (remat, bf16)", file=sys.stderr)
+              f"f64 L6 flagship (remat, bf16; 160^3 crop trains "
+              f"space-sharded, see tests/test_flagship_l6.py)", file=sys.stderr)
     except Exception as e:
         print(f"# train step bench skipped: {type(e).__name__}",
               file=sys.stderr)

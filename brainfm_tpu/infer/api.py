@@ -28,8 +28,10 @@ class Inferencer:
 
     def __init__(self, cfg: AttrDict, ckpt_path: str | None = None,
                  compute_dtype=jnp.float32, exact: bool = True):
-        if exact:
-            jax.config.update("jax_default_matmul_precision", "highest")
+        # precision is scoped to THIS model's traces (a global
+        # jax.config.update here would leak: a later bf16 Inferencer in
+        # the same process would silently run at "highest" too)
+        self._precision = "highest" if exact else None
         self.cfg, self.model = build_model(cfg, compute_dtype=compute_dtype)
         if ckpt_path and ckpt_path.endswith((".pth", ".pt")):
             from ..models.torch_import import import_checkpoint
@@ -65,9 +67,19 @@ class Inferencer:
         x = jnp.zeros((1, *size, 1), jnp.float32)
         return self.model.init(jax.random.PRNGKey(0), x)
 
+    def _precision_ctx(self):
+        import contextlib
+
+        if self._precision:
+            return jax.default_matmul_precision(self._precision)
+        return contextlib.nullcontext()
+
     def _forward(self, x):
-        out = self.model.apply(self.params, x)
-        return apply_processors(out, self.cfg)
+        # the context binds the precision while jit TRACES this function;
+        # the compiled executable keeps it thereafter
+        with self._precision_ctx():
+            out = self.model.apply(self.params, x)
+            return apply_processors(out, self.cfg)
 
     def evaluate_image(self, inputs, feature_only: bool = False,
                        run_postprocess: bool = True):
@@ -85,15 +97,21 @@ class Inferencer:
 
     def evaluate_tiled(self, vol, stride=(80, 80, 80),
                        win_size=(160, 160, 160), run_postprocess: bool = True,
-                       fused: bool = True, accum_dtype=jnp.bfloat16):
+                       fused: bool = True, accum_dtype=jnp.float32):
         """Whole-volume via tiles + overlap blending (parity:
         demo_test.test_tile, scripts/demo_test.py:66-119). `fused` runs the
         whole pass as one jitted scan (one dispatch instead of one per tile
-        per output — see tiles.tiled_apply_fused)."""
+        per output — see tiles.tiled_apply_fused).
+
+        accum_dtype: fp32 default = reference-parity blending (the
+        reference accumulates and count-averages in fp32,
+        demo_test.py:106-119); pass bf16 as an opt-in speed mode (~0.4%
+        blend error on overlap seams)."""
 
         def apply_fn(params, tile):
-            out = self.model.apply(params, tile)
-            out = apply_processors(out, self.cfg)
+            with self._precision_ctx():
+                out = self.model.apply(params, tile)
+                out = apply_processors(out, self.cfg)
             return {k: v for k, v in out.items() if k != "feat"}
 
         vol = jnp.asarray(vol)

@@ -7,10 +7,10 @@ SOLVERS registry — euler / midpoint / rk4 fixed steppers, adaptive
 Dormand-Prince RK45 ('dopri5', the generator's default,
 cfgs/generator/default.yaml:117), adaptive Tsitouras RK45 ('tsit5'),
 Adams-Bashforth 4 ('explicit_adams') and Adams-Bashforth-Moulton
-predictor-corrector ('fixed_adams'; 'adams' maps to the same corrector
-loop at the caller's dt — the reference's variable-coefficient machinery
-is adaptivity in step size, which dopri5/tsit5 already provide here) —
-and gradient support.
+predictor-corrector ('fixed_adams') — and gradient support. 'adams'
+(the reference's ADAPTIVE variable-coefficient Adams) routes to the
+adaptive dopri5 controller so rtol/atol are honored, rather than to the
+fixed-step corrector which would silently ignore them.
 
 TPU design: fixed-grid methods run under `lax.scan` (the Adams family
 carries its derivative history in the scan carry, RK4 startup); adaptive
@@ -200,7 +200,15 @@ def odeint(func, y0, t, dt=None, rtol=1e-7, atol=1e-9, method=None):
     t = jnp.asarray(t, y0.dtype)
     if method in _FIXED_STEPS:
         return _fixed_grid_integrate(func, y0, t, method)
-    if method in ("explicit_adams", "fixed_adams", "adams"):
+    if method == "adams":
+        # reference 'adams' is the ADAPTIVE VariableCoefficientAdamsBashforth
+        # (ShapeID/DiffEqs/adams.py) honoring rtol/atol; the fixed-step AM4
+        # corrector would silently ignore the tolerances on coarse output
+        # grids, so route to the adaptive dopri5 controller instead
+        # (documented capability substitution: same accuracy contract,
+        # different integrator family)
+        method = "dopri5"
+    elif method in ("explicit_adams", "fixed_adams"):
         return _adams_integrate(func, y0, t,
                                 corrector=(method != "explicit_adams"))
     if method in _TABLEAUS:

@@ -40,8 +40,19 @@ __all__ = ["pallas_backend", "svf_trim_margin", "warp_labels",
 
 # output-tile shape for the block kernel: z=32 halves the grid-step count
 # for the same MXU pass count (K pads to 128 either way) — 10-ch wall warp
-# 257 -> 197 ms measured (v5e 2026-08-17)
+# 257 -> 197 ms measured (v5e 2026-08-17). When the deformation bounds
+# need more fetch coverage than the kernel's caps allow at z=32, the
+# planner falls back to z=16 (smaller |A|@t extent), then to the XLA
+# gather — never to silent clamping.
 _TILE = (8, 8, 32)
+_TILE_FALLBACK = (8, 8, 16)
+# fetch-coverage caps of warp_blocks: x/y <= (_NB-1)*_BX = 48, z <= 128
+_TRIM_CAPS = (48, 48, 128)
+
+# when True, every Pallas warp asserts its overflow count is zero via a
+# host callback (voxels whose source coordinate left the static patch
+# clamp to its edge — a correctness loss that must be loud, not silent)
+DEBUG_OVERFLOW = False
 
 # master switch for the Pallas warp path. Threaded-args re-measurement
 # (v5e, 2026-08-16 — the first 12 ms reading was a constant-folded
@@ -73,15 +84,47 @@ def svf_trim_margin(cfg) -> float:
 
 
 @lru_cache(maxsize=32)
-def _blocks_trim(bounds):
-    """Trim for warp_blocks: x/y capped by the 4-block fetch coverage
-    (48), z by the two 128-lane z-blocks. Coordinates beyond the cap
-    clamp to the patch edge and count into the kernel's overflow output —
-    a tail-of-the-SVF-distribution event under the generator's bounds."""
+def _blocks_plan(bounds):
+    """(tile, trim) for warp_blocks under the kernel's fetch-coverage caps.
+
+    plan_trim extents grow with the output tile (|A|@t), so a tile whose
+    worst-case request fits the caps is preferred. When even the short
+    tile's request exceeds them (the DEFAULT generator bounds do:
+    plan_trim's corner-max affine x 2.5-sigma SVF margin is deliberately
+    conservative), the trim is capped — with a loud one-time warning, and
+    coordinates beyond the patch clamp to its edge and count into the
+    kernel's overflow output (assert it zero via DEBUG_OVERFLOW; measured
+    0 over 82M voxels / 20 real-bounds draws, v5e 2026-08-17)."""
+    for tile in (_TILE, _TILE_FALLBACK):
+        trim = plan_trim(tile, *bounds)
+        if all(t <= c for t, c in zip(trim, _TRIM_CAPS)):
+            return tile, trim
+    import warnings
+
     trim = plan_trim(_TILE, *bounds)
-    # measured: 0 overflow voxels over 20 real-bounds deformation draws
-    # (82M voxels, default SynthStatic, v5e 2026-08-17)
-    return (min(trim[0], 48), min(trim[1], 48), min(trim[2], 128))
+    capped = tuple(min(t, c) for t, c in zip(trim, _TRIM_CAPS))
+    warnings.warn(
+        f"pallas warp: worst-case plan_trim{tuple(trim)} exceeds kernel "
+        f"coverage caps {_TRIM_CAPS} for bounds {bounds}; using capped "
+        f"trim {capped}. Tail deformations beyond the patch clamp to its "
+        "edge — set brainfm_tpu.ops.warp_auto.DEBUG_OVERFLOW=True to "
+        "assert the overflow count stays zero, or set PALLAS_WARP=False "
+        "for the exact XLA gather.")
+    return _TILE, capped
+
+
+def _check_overflow(out_and_count):
+    out, count = out_and_count
+    if DEBUG_OVERFLOW:
+        def _raise_if(c):
+            if int(c) > 0:
+                raise RuntimeError(
+                    f"pallas warp: {int(c)} voxels left the static patch "
+                    "(deformation beyond planned trim) — widen bounds in "
+                    "the cfg or disable PALLAS_WARP")
+
+        jax.debug.callback(_raise_if, count)
+    return out
 
 
 def _cfg_bounds(cfg):
@@ -102,10 +145,12 @@ def warp_labels(vol, grid, cfg):
     ii, jj, kk = grid
     if (PALLAS_WARP and pallas_backend() and vol.ndim == 3
             and ii.ndim == 3):
-        out, _ = warp_blocks(vol, ii, jj, kk, 0.0, tile=_TILE,
-                             trim=_blocks_trim(_cfg_bounds(cfg)),
-                             mode="nearest", compute_dtype=jnp.bfloat16)
-        return out
+        plan = _blocks_plan(_cfg_bounds(cfg))
+        if plan is not None:
+            tile, trim = plan
+            return _check_overflow(warp_blocks(
+                vol, ii, jj, kk, 0.0, tile=tile, trim=trim,
+                mode="nearest", compute_dtype=jnp.bfloat16))
     return nearest3d(vol, ii, jj, kk)
 
 
@@ -118,9 +163,11 @@ def warp_volume(vol, grid, cfg, default=0.0, approx=False):
     ii, jj, kk = grid
     if (PALLAS_WARP and pallas_backend() and ii.ndim == 3
             and vol.ndim in (3, 4)):
-        cdt = jnp.bfloat16 if approx else jnp.float32
-        out, _ = warp_blocks(vol, ii, jj, kk, default, tile=_TILE,
-                             trim=_blocks_trim(_cfg_bounds(cfg)),
-                             compute_dtype=cdt)
-        return out
+        plan = _blocks_plan(_cfg_bounds(cfg))
+        if plan is not None:
+            tile, trim = plan
+            cdt = jnp.bfloat16 if approx else jnp.float32
+            return _check_overflow(warp_blocks(
+                vol, ii, jj, kk, default, tile=tile, trim=trim,
+                compute_dtype=cdt))
     return trilinear3d(vol, ii, jj, kk, default)

@@ -27,15 +27,22 @@ def init_distributed(coordinator: str | None = None,
     With no arguments, JAX auto-detects the TPU pod topology from the
     environment; explicit args cover DCN/GPU-style launches. Safe to call
     on single-host (no-op when the env provides no cluster)."""
+    if coordinator:
+        # explicit launch: failures are real launch failures — propagate
+        # (the round-1 blanket except masked them)
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+        return jax.process_index(), jax.process_count()
     try:
-        if coordinator:
-            jax.distributed.initialize(coordinator_address=coordinator,
-                                       num_processes=num_processes,
-                                       process_id=process_id)
-        else:
-            jax.distributed.initialize()
-    except Exception:
-        pass  # single-process / already initialized
+        jax.distributed.initialize()
+    except (RuntimeError, ValueError) as e:
+        # auto-detect mode: no cluster env / already initialized are the
+        # expected single-host outcomes; anything else still surfaces
+        msg = str(e).lower()
+        if "already" not in msg and "unable to detect" not in msg \
+                and "environment" not in msg and "coordinator" not in msg:
+            raise
     return jax.process_index(), jax.process_count()
 
 

@@ -24,18 +24,24 @@ from .deform import small_field_buffer_shape, zoom_from_effective
 MAX_BLUR_SIGMA = 4.0  # static cap: max thickness 6mm -> sigma ~3.5 (utils.py:592)
 
 
-def gamma_transform(key, img, gamma_std):
-    """(parity: Generator/utils.py:568-572). gamma_std may be traced."""
-    gamma = jnp.exp(gamma_std * jax.random.normal(key))
+def gamma_transform(key, img, gamma_std, gamma=None):
+    """(parity: Generator/utils.py:568-572). gamma_std may be traced.
+    `gamma`: optional injected exponent (golden tests)."""
+    if gamma is None:
+        gamma = jnp.exp(gamma_std * jax.random.normal(key))
     return 300.0 * (img / 300.0) ** gamma
 
 
-def sample_bias_field(key, cfg, setup, knobs):
+def sample_bias_field(key, cfg, setup, knobs, bf_scale=None, std=None,
+                      small_noise=None):
     """Low-res log-field -> full-size BFlog (parity: utils.py:574-589).
-    bf_scale/std ranges come from the traced `knobs` (mild/severe swap)."""
+    bf_scale/std ranges come from the traced `knobs` (mild/severe swap).
+    bf_scale/std/small_noise: optional injected draws (golden tests;
+    small_noise is the standard-normal buffer-shaped field)."""
     k1, k2, k3 = jax.random.split(key, 3)
-    bf_scale = knobs["bf_scale_min"] + jax.random.uniform(k1) * (
-        knobs["bf_scale_max"] - knobs["bf_scale_min"])
+    if bf_scale is None:
+        bf_scale = knobs["bf_scale_min"] + jax.random.uniform(k1) * (
+            knobs["bf_scale_max"] - knobs["bf_scale_min"])
     size = jnp.asarray(cfg.size, jnp.float32)
     eff = jnp.round(bf_scale * size)
     eff = eff.at[1].set(jnp.where(setup["photo_mode"] > 0,
@@ -47,18 +53,23 @@ def sample_bias_field(key, cfg, setup, knobs):
     buf = (int(math.ceil(cfg.bf_scale_max * cfg.size[0])) + 1,
            int(math.ceil(frac1 * cfg.size[1])) + 1,
            int(math.ceil(cfg.bf_scale_max * cfg.size[2])) + 1)
-    std = knobs["bf_std_min"] + (knobs["bf_std_max"]
-                                 - knobs["bf_std_min"]) * jax.random.uniform(k2)
-    small = std * jax.random.normal(k3, buf)
+    if std is None:
+        std = knobs["bf_std_min"] + (knobs["bf_std_max"]
+                                     - knobs["bf_std_min"]) \
+            * jax.random.uniform(k2)
+    if small_noise is None:
+        small_noise = jax.random.normal(k3, buf)
+    small = std * small_noise
     return zoom_from_effective(small, eff, cfg.size)
 
 
-def resample_resolution(key, img, cfg, setup):
+def resample_resolution(key, img, cfg, setup, rnd=None):
     """Slice-thickness blur + downsample to acquisition resolution
     (parity: utils.py:591-609). Returns (low-res padded buffer,
-    effective new_size(3,))."""
+    effective new_size(3,)). `rnd`: optional injected blur jitter."""
     res_td = jnp.asarray(cfg.res_training_data, jnp.float32)
-    rnd = 0.85 + 0.3 * jax.random.uniform(key)
+    if rnd is None:
+        rnd = 0.85 + 0.3 * jax.random.uniform(key)
     stds = rnd * jnp.log(5.0) / jnp.pi * setup["thickness"] / res_td
     stds = jnp.where(setup["thickness"] <= res_td, 0.0, stds)
     blurred = gaussian_blur_3d(img, stds, max_sigma=MAX_BLUR_SIGMA)
@@ -81,11 +92,16 @@ def resample_resolution(key, img, cfg, setup):
     return small, new_size
 
 
-def add_noise(key, img, noise_std_min, noise_std_max):
-    """(parity: utils.py:633-638). stds are traced knobs."""
+def add_noise(key, img, noise_std_min, noise_std_max, std=None, noise=None):
+    """(parity: utils.py:633-638). stds are traced knobs; std/noise are
+    optional injected draws (golden tests)."""
     k1, k2 = jax.random.split(key)
-    std = noise_std_min + (noise_std_max - noise_std_min) * jax.random.uniform(k1)
-    noisy = img + std * jax.random.normal(k2, img.shape)
+    if std is None:
+        std = noise_std_min + (noise_std_max - noise_std_min) \
+            * jax.random.uniform(k1)
+    if noise is None:
+        noise = jax.random.normal(k2, img.shape)
+    noisy = img + std * noise
     return jnp.maximum(noisy, 0.0)
 
 
@@ -97,34 +113,44 @@ def restore_resolution(small, new_size, cfg):
 
 def augment_chain(key, img, cfg, setup, knobs, steps=("gamma", "bias_field",
                                                       "resample", "noise"),
-                  is_ct=False):
+                  is_ct=False, overrides=None):
     """Run the configured augmentation steps
     (parity: datasets.py:328-340 loop over `augmentation_steps`).
 
     knobs: traced dict {gamma_std, bf_scale_min, bf_scale_max, bf_std_min,
     bf_std_max, noise_std_min, noise_std_max} — the runtime
     mild/severe/real/synth parameter swap.
+    overrides: optional dict of injected draws for golden tests
+    ({gamma, bf_scale, bf_std, bf_small_noise, resample_rnd, noise_std,
+    noise_field}).
     Returns (restored_img, aux dict with 'BFlog','high_res','factors')."""
     keys = jax.random.split(key, 4)
+    ov = overrides or {}
     aux = {}
     x = img
     new_size = jnp.asarray(cfg.size, jnp.float32)
     for step in steps:
         if step == "gamma":
-            x = gamma_transform(keys[0], x, knobs["gamma_std"])
+            x = gamma_transform(keys[0], x, knobs["gamma_std"],
+                                gamma=ov.get("gamma"))
         elif step == "bias_field":
             if is_ct:
                 aux["high_res"] = x  # (parity: utils.py:575-577)
             else:
-                bflog = sample_bias_field(keys[1], cfg, setup, knobs)
+                bflog = sample_bias_field(
+                    keys[1], cfg, setup, knobs, bf_scale=ov.get("bf_scale"),
+                    std=ov.get("bf_std"),
+                    small_noise=ov.get("bf_small_noise"))
                 x = x * jnp.exp(bflog)
                 aux["BFlog"] = bflog
                 aux["high_res"] = x
         elif step == "resample":
-            x, new_size = resample_resolution(keys[2], x, cfg, setup)
+            x, new_size = resample_resolution(keys[2], x, cfg, setup,
+                                              rnd=ov.get("resample_rnd"))
         elif step == "noise":
             x = add_noise(keys[3], x, knobs["noise_std_min"],
-                          knobs["noise_std_max"])
+                          knobs["noise_std_max"], std=ov.get("noise_std"),
+                          noise=ov.get("noise_field"))
         else:
             raise ValueError(step)
     restored = restore_resolution(x, new_size, cfg)

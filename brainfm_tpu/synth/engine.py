@@ -177,7 +177,7 @@ def make_targets(key, subject, grid, setup, sfd, cfg, tasks, extra=None):
             [jnp.stack([jnp.asarray(d, jnp.float32) for d in defaults])
              if defaults else jnp.zeros((0,)), jnp.zeros((n_extra,))])
         wall = _deform(big, grid, default=dvec, cfg=cfg,
-                       approx=cfg.approx_warp)
+                       approx=cfg.approx_warp and cfg.approx_warp_targets)
         warped = {n: wall[..., a:b] for n, (a, b) in spans.items()}
         if n_extra:
             extra_warped = wall[..., len(stack):]

@@ -67,6 +67,10 @@ class SynthStatic:
     # kernel in bf16 (synthesis-grade accuracy; labels stay exact either
     # way) — ops/warp_auto.py
     approx_warp: bool = True
+    # bf16 also for the fused TARGET wall warp (distance/CT/T1 regression
+    # labels + pathol_prob). False keeps targets fp32-exact while
+    # augmentation intermediates stay bf16 (~3x the wall-warp cost).
+    approx_warp_targets: bool = True
     # resolution of the training data (datasets.py:153)
     res_training_data: Tuple[float, float, float] = (1.0, 1.0, 1.0)
 
@@ -121,6 +125,7 @@ class SynthStatic:
             all_samples=int(gv(g, "all_samples", 1)),
             mild_samples=int(gv(g, "mild_samples", 0)),
             approx_warp=bool(gv(g, "approx_warp", True)),
+            approx_warp_targets=bool(gv(g, "approx_warp_targets", True)),
         )
 
 
