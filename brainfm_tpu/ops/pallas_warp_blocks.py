@@ -39,7 +39,28 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_warp import _block, _unblock
+
+def _block(x, tile):
+    """(Do,Ho,Wo) -> (T, N) tile-major blocks, edge-padded."""
+    ta, tb, tc = tile
+    Do, Ho, Wo = x.shape
+    pa, pb, pc = (-Do) % ta, (-Ho) % tb, (-Wo) % tc
+    x = jnp.pad(x, ((0, pa), (0, pb), (0, pc)), mode="edge")
+    A, B, Cc = x.shape
+    x = x.reshape(A // ta, ta, B // tb, tb, Cc // tc, tc)
+    x = x.transpose(0, 2, 4, 1, 3, 5)
+    return x.reshape(-1, ta * tb * tc), (A, B, Cc)
+
+
+def _unblock(y, padded, tile, orig):
+    ta, tb, tc = tile
+    A, B, Cc = padded
+    T, C, N = y.shape
+    y = y.reshape(A // ta, B // tb, Cc // tc, C, ta, tb, tc)
+    y = y.transpose(3, 0, 4, 1, 5, 2, 6).reshape(C, A, B, Cc)
+    return y[:, :orig[0], :orig[1], :orig[2]]
+
+
 
 __all__ = ["warp_blocks"]
 
@@ -298,3 +319,39 @@ def warp_blocks(vol, ii, jj, kk, default=0.0, tile=(8, 8, 16),
     if mode == "nearest" and in_dtype != jnp.float32:
         res = jnp.round(res).astype(in_dtype)
     return res, jnp.sum(of)
+
+
+def plan_trim(tile, max_rotation, max_shear, max_scaling, svf_margin,
+              align=8):
+    """Static per-axis patch extents covering the generator's deformation
+    family (random_affine bounds, synth/deform.py:37-56) plus an SVF
+    within-tile spread margin.
+
+    The affine extent along input axis i for an output tile of extents t is
+    max over the parameter box of sum_j |A_ij| t_j; the box corners achieve
+    the maximum of each |A_ij| so corner sampling is exact enough. +2 for
+    interpolation support and slack.
+    """
+    import itertools
+
+    import numpy as np
+
+    rot = float(max_rotation) / 180.0 * np.pi
+    best = np.zeros(3)
+    t = np.asarray(tile, np.float64)
+    for r in itertools.product((-rot, rot), repeat=3):
+        for sh in itertools.product((-max_shear, max_shear), repeat=3):
+            cx, sx = np.cos(r[0]), np.sin(r[0])
+            cy, sy = np.cos(r[1]), np.sin(r[1])
+            cz, sz = np.cos(r[2]), np.sin(r[2])
+            Rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+            Ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+            Rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+            SHx = np.array([[1, 0, 0], [sh[1], 1, 0], [sh[2], 0, 1]])
+            SHy = np.array([[1, sh[0], 0], [0, 1, 0], [0, sh[2], 1]])
+            SHz = np.array([[1, 0, sh[0]], [0, 1, sh[1]], [0, 0, 1]])
+            A = SHx @ SHy @ SHz @ Rx @ Ry @ Rz
+            best = np.maximum(best, np.abs(A) @ t)
+    best = best * (1.0 + float(max_scaling))
+    need = best + 2.0 * float(svf_margin) + 2.0
+    return tuple(int(-(-int(n + 1) // align) * align) for n in need)

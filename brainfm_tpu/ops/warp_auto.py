@@ -32,8 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from .interp import nearest3d, trilinear3d
-from .pallas_warp import plan_trim
-from .pallas_warp_blocks import warp_blocks
+from .pallas_warp_blocks import plan_trim, warp_blocks
 
 __all__ = ["pallas_backend", "svf_trim_margin", "warp_labels",
            "warp_volume"]
@@ -42,8 +41,8 @@ __all__ = ["pallas_backend", "svf_trim_margin", "warp_labels",
 # for the same MXU pass count (K pads to 128 either way) — 10-ch wall warp
 # 257 -> 197 ms measured (v5e 2026-08-17). When the deformation bounds
 # need more fetch coverage than the kernel's caps allow at z=32, the
-# planner falls back to z=16 (smaller |A|@t extent), then to the XLA
-# gather — never to silent clamping.
+# planner falls back to z=16 (smaller |A|@t extent); if even that exceeds
+# the caps it caps the trim with a LOUD warning (see _blocks_plan).
 _TILE = (8, 8, 32)
 _TILE_FALLBACK = (8, 8, 16)
 # fetch-coverage caps of warp_blocks: x/y <= (_NB-1)*_BX = 48, z <= 128

@@ -8,7 +8,20 @@ import numpy as np
 
 from brainfm_tpu.ops.interp import nearest3d, trilinear3d
 from brainfm_tpu.ops.pallas_warp_blocks import warp_blocks
-from tests.test_pallas_warp import _smooth_grid
+def _smooth_grid(shape, D, H, W, scale=1.1, rot=0.2, disp=3.0):
+    xo, yo, zo = np.meshgrid(np.arange(shape[0]), np.arange(shape[1]),
+                             np.arange(shape[2]), indexing="ij")
+    cx, cy, cz = [(s - 1) / 2 for s in shape]
+    c, s = np.cos(rot), np.sin(rot)
+    x = (xo - cx) * c * scale - (yo - cy) * s * scale + D / 2
+    y = (xo - cx) * s * scale + (yo - cy) * c * scale + H / 2
+    z = (zo - cz) * 1.05 + W / 2
+    x = x + disp * np.sin(yo / 17.0)
+    y = y + disp * np.cos(zo / 13.0)
+    z = z + disp * np.sin(xo / 11.0)
+    return tuple(jnp.asarray(v, jnp.float32) for v in (x, y, z))
+
+pytestmark = __import__('pytest').mark.slow  # torch-oracle / interpret-mode: slow tier
 
 
 def test_blocks_linear_exact_fp32():

@@ -16,6 +16,8 @@ import jax.numpy as jnp  # noqa: E402
 
 from brainfm_tpu.ops import grid_count, grid_grad, grid_pull, grid_push  # noqa: E402
 
+pytestmark = __import__('pytest').mark.slow  # torch-oracle / interpret-mode: slow tier
+
 BOUNDS = ["zero", "replicate", "dct1", "dct2", "dst1", "dst2", "dft"]
 ORDERS = [0, 1, 2, 3]
 

@@ -16,6 +16,8 @@ sys.path.insert(0, "/root/reference")
 
 from tests._refstub import stub_reference_deps
 
+pytestmark = __import__('pytest').mark.slow  # torch-oracle / interpret-mode: slow tier
+
 
 @pytest.fixture(scope="module")
 def ref_models():

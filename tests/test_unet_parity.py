@@ -20,6 +20,8 @@ from brainfm_tpu.models.heads import TaskHead  # noqa: E402
 from brainfm_tpu.models.torch_import import torch_to_flax_params  # noqa: E402
 from brainfm_tpu.models.unet3d import UNet3D  # noqa: E402
 
+pytestmark = __import__('pytest').mark.slow  # torch-oracle / interpret-mode: slow tier
+
 
 class _TorchJoiner(torch.nn.Module):
     def __init__(self, backbone, head):
