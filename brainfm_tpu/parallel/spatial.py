@@ -56,16 +56,26 @@ def spatial_shard_conv_apply(apply_fn, params, x, mesh, halo: int):
     batch) of x: (B, D, H, W, C), D divided across mesh axis 'space'.
 
     `halo` must cover the receptive-field half-width; slab centers are then
-    exact for purely convolutional apply_fns. Caveats for the full UNet:
-    GroupNorm statistics are computed per slab+halo (not globally), so
-    normalized networks differ slightly from the unsharded result — for
-    exact sharded training/inference prefer the GSPMD path (jit with the
-    volume sharded over 'space'; XLA inserts exact halo exchanges —
-    see __graft_entry__.dryrun_multichip). Output leaves must keep the
-    padded axis-1 extent (full-resolution outputs); lower-resolution
-    leaves (e.g. 'feat' pyramids) should be dropped by apply_fn. `halo`
-    and the slab extent should be multiples of 2^(levels-1) so max-pool
-    grids align.
+    exact for purely convolutional apply_fns.
+
+    DOMAIN: pure convolution/stencil networks ONLY, and exact only away
+    from the global volume edge: stacked SAME convs re-pad zeros per
+    layer at the true boundary, while the halo path lets boundary
+    influence propagate through the zero halo (within one receptive
+    field of the volume edge the results differ). Any cross-volume
+    statistic (GroupNorm, global pooling) is computed per slab+halo here,
+    NOT globally — for the UNet and anything normalized, use the GSPMD
+    path instead (jit with the volume device_put over 'space' under
+    jax.sharding.set_mesh; XLA inserts exact halo exchanges and
+    cross-shard normalization collectives; exactness proven by
+    tests/test_flagship_l6.py). This explicit shard_map path remains for
+    stencil pipelines (PDE advection, blur towers) where per-slab locality
+    IS the whole computation and the ppermute cost model is transparent.
+
+    Output leaves must keep the padded axis-1 extent (full-resolution
+    outputs); lower-resolution leaves (e.g. 'feat' pyramids) should be
+    dropped by apply_fn. `halo` and the slab extent should be multiples of
+    2^(levels-1) so max-pool grids align.
     Returns the same pytree as apply_fn, spatially sharded the same way.
     """
 
