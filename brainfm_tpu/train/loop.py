@@ -114,7 +114,7 @@ def train(cfg, model, weight_dict, loss_fn, bank, out_dir: str,
           itr_per_epoch: int = 100, batch_items: int = 1,
           input_modes=("synth",), seed: int = 0, log_itr: int = 10,
           resume: str | None = None, vis_itr: int = 0, val_itr: int = 1,
-          n_val_items: int = 2, keep_ckpt: int = 2, stream=None):
+          n_val_items: int = 2, keep_ckpt: int = 2, stream=None, mesh=None):
     """Run the full training loop. `bank`: SubjectBank; `cfg`: processed
     trainer config (with .generator etc.).
 
@@ -124,6 +124,15 @@ def train(cfg, model, weight_dict, loss_fn, bank, out_dir: str,
     Generator/utils.py:18-29). When given it replaces the flat-bank
     subject sampling; `bank` may be None (val set then draws from the
     stream's first dataset).
+
+    `mesh`: optional jax.sharding.Mesh with a 'data' axis (and optionally
+    'space') — the multi-chip path (parity: the DDP wrap of
+    scripts/train.py:154-158). Batches are sharded batch-over-'data'
+    (volumes additionally D-over-'space' when the axis exists), state is
+    replicated, and every step runs under jax.sharding.set_mesh so XLA
+    inserts the gradient psum and conv halo exchanges (and the UNet's
+    deep-level replication guard engages). batch_items must be a
+    multiple of the 'data' axis size.
 
     Validation + best checkpoint (parity: best_val_stats carried in every
     checkpoint and the pre-save backup rename, scripts/train.py:173,196-214):
@@ -155,6 +164,30 @@ def train(cfg, model, weight_dict, loss_fn, bank, out_dir: str,
     lr_sched, wd_sched = build_schedules(cfg, itr_per_epoch)
     step_fn = make_train_step(model, cfg, weight_dict, loss_fn, optimizer)
     knobs = {m: build_knobs_stack(scfg, m) for m in set(input_modes)}
+
+    # multi-chip: replicate state, shard batches, run under set_mesh
+    import contextlib
+
+    mesh_scope = contextlib.nullcontext
+    shard_train_batch = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        assert "data" in mesh.axis_names, mesh.axis_names
+        assert batch_items % mesh.shape["data"] == 0, \
+            (batch_items, dict(mesh.shape))
+        mesh_scope = lambda: jax.sharding.set_mesh(mesh)  # noqa: E731
+        repl = NamedSharding(mesh, P())
+        has_space = mesh.shape.get("space", 1) > 1
+        vol_spec = NamedSharding(
+            mesh, P("data", None, "space") if has_space else P("data"))
+        flat_spec = NamedSharding(mesh, P("data"))
+        state = jax.tree.map(lambda a: jax.device_put(a, repl), state)
+
+        def shard_train_batch(b):
+            return jax.tree.map(
+                lambda a: jax.device_put(
+                    a, vol_spec if a.ndim >= 3 else flat_spec), b)
 
     # weighted subject sampling + modality roulette (parity:
     # DistributedWeightedSampler utils/misc.py:523 + read_input
@@ -208,9 +241,12 @@ def train(cfg, model, weight_dict, loss_fn, bank, out_dir: str,
                 batch = make_batch(item_keys, subj, scfg, tasks, mode,
                                    knobs[mode])
             batch = apply_condition(batch, cfg.get("condition"))
+            if shard_train_batch is not None:
+                batch = shard_train_batch(batch)
             lr = jnp.float32(lr_sched[min(gstep, len(lr_sched) - 1)])
             wd = jnp.float32(wd_sched[min(gstep, len(wd_sched) - 1)])
-            state, metrics = step_fn(state, batch, lr, wd)
+            with mesh_scope():
+                state, metrics = step_fn(state, batch, lr, wd)
             if it % log_itr == 0:
                 host_metrics = {k: float(v) for k, v in metrics.items()}
                 mlog.update(**host_metrics)

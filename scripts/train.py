@@ -77,6 +77,10 @@ def main():
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--resume", default=None)
     ap.add_argument("--debug", action="store_true")
+    ap.add_argument("--mesh", default=None,
+                    help="multi-chip mesh 'DATA' or 'DATAxSPACE', e.g. 8 "
+                         "or 4x2 (batch over data, volume D over space)")
+    ap.add_argument("--batch_items", type=int, default=1)
     args = ap.parse_args()
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -108,9 +112,18 @@ def main():
     stream = datasets["_concat"]
     n_subj = {n: len(d) for n, d in datasets.items() if n != "_concat"}
     print("datasets:", n_subj)
+    mesh = None
+    if args.mesh:
+        from brainfm_tpu.parallel.mesh import init_distributed, make_mesh
+
+        init_distributed()
+        parts = [int(v) for v in args.mesh.lower().split("x")]
+        mesh = make_mesh(data=parts[0],
+                         space=parts[1] if len(parts) > 1 else 1)
     itr = 2 if args.debug else args.itr_per_epoch
     state = train(cfg, model, weight_dict, loss_fn, None, out_dir,
-                  itr_per_epoch=itr, resume=args.resume, stream=stream)
+                  itr_per_epoch=itr, resume=args.resume, stream=stream,
+                  mesh=mesh, batch_items=args.batch_items)
     print("training done; final step", int(state.step))
 
 

@@ -92,6 +92,33 @@ def test_subject_weight_hook():
     assert (counts2 > 50).all()
 
 
+def test_train_loop_on_mesh(tmp_path):
+    """The real training loop on a 4x2 (data x space) mesh: batches
+    sharded batch-over-data and D-over-space, state replicated, steps
+    under set_mesh (parity: the DDP wrap, scripts/train.py:154-158)."""
+    from brainfm_tpu.parallel.mesh import make_mesh
+    from brainfm_tpu.synth.engine import SubjectBank
+
+    cfg = _gen_cfg()
+    cfg.n_epochs = 1
+    cfg2, model = build_model(cfg)
+    _, weight_dict, loss_fn = make_criterion(cfg2)
+    bank = SubjectBank(bank_shape=(24, 24, 24))
+    bank.add_debug_subject(seed=0, extent=(20, 20, 20))
+
+    mesh = make_mesh(data=4, space=2)
+    out = str(tmp_path / "run")
+    state = train(cfg2, model, weight_dict, loss_fn, bank, out,
+                  itr_per_epoch=2, batch_items=4, seed=0, log_itr=1,
+                  val_itr=0, mesh=mesh)
+    assert int(state.step) == 2
+    import jax as _jax
+
+    # params replicated across the mesh and finite after sharded steps
+    leaf = _jax.tree.leaves(state.params)[0]
+    assert np.isfinite(np.asarray(leaf)).all()
+
+
 def test_train_two_epochs_over_two_datasets(tmp_path):
     """2 epochs over 2 debug datasets with prob mixing through the real
     train loop (the VERDICT next-#5 done criterion)."""
