@@ -201,7 +201,7 @@ def main():
         rng0 = np.random.default_rng(1)
         ts = (128, 128, 128)
         xt = jnp.asarray(rng0.random((1, *ts, 1)), jnp.float32)
-        tparams = tmodel.init(jax.random.PRNGKey(0), xt)
+        tparams = jax.jit(tmodel.init)(jax.random.PRNGKey(0), xt)
         tstate = TrainState(tparams, topt.init(tparams),
                             jnp.zeros((), jnp.int32))
         tstep = make_train_step(tmodel, tcfg, twd, tloss, topt, donate=True)

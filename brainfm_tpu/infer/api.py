@@ -65,7 +65,10 @@ class Inferencer:
     def _init_params(self):
         size = tuple(self.cfg.generator.size)
         x = jnp.zeros((1, *size, 1), jnp.float32)
-        return self.model.init(jax.random.PRNGKey(0), x)
+        # jit: an eager flax init executes the full-size forward op-by-op
+        # (~25 ms/dispatch over the relay = tens of minutes for L6 at
+        # 160^3); jitted it is one compile + one run
+        return jax.jit(self.model.init)(jax.random.PRNGKey(0), x)
 
     def _precision_ctx(self):
         import contextlib
@@ -192,7 +195,7 @@ class TwoStageInferencer:
                 from ..models.torch_import import import_checkpoint
 
                 return import_checkpoint(ckpt)
-            return model.init(jax.random.PRNGKey(0), x0)
+            return jax.jit(model.init)(jax.random.PRNGKey(0), x0)
 
         self.pathol_params = load(self.pathol_model, pathol_ckpt, x)
         self.task_params = load(self.task_model, task_ckpt,

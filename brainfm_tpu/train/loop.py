@@ -147,7 +147,7 @@ def train(cfg, model, weight_dict, loss_fn, bank, out_dir: str,
     optimizer = build_optimizer(cfg)
     size = tuple(cfg.generator.size)
     x0 = jnp.zeros((scfg.all_samples, *size, 1), jnp.float32)
-    params = model.init(jax.random.PRNGKey(seed), x0)
+    params = jax.jit(model.init)(jax.random.PRNGKey(seed), x0)
     state = TrainState(params, optimizer.init(params),
                        jnp.zeros((), jnp.int32))
     start_epoch = 0
