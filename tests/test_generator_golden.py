@@ -195,6 +195,89 @@ def test_bias_field_golden(ref):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_full_item_distribution(ref):
+    """Distribution-level check of the FULL synthesis path: the reference
+    BaseGen.generate_sample -> augment_sample (identity deformation, real
+    RNG) vs our synth_item over several seeds — normalized-intensity
+    moments and quantiles must agree. Catches systematically wrong knob
+    wiring (units, ranges) that per-stage goldens with injected draws
+    cannot see (VERDICT next #3 'distribution-level checks elsewhere')."""
+    size = (32, 32, 32)
+    rng = np.random.default_rng(7)
+    # shared debug label volume: a blobby mix of generation labels
+    from brainfm_tpu.synth.engine import SubjectBank
+
+    bank = SubjectBank(bank_shape=(40, 40, 40))
+    bank.add_debug_subject(seed=0, extent=(36, 36, 36))
+    G_full = np.asarray(bank.to_device(0)["gen"], np.float32)
+
+    # --- reference: BaseGen without __init__ (no file I/O), identity grid
+    bg = ref.datasets.BaseGen.__new__(ref.datasets.BaseGen)
+    bg.device = "cpu"
+    bg.hemis_mask = None
+    bg.modalities = ["T1"]
+    bg.tasks = []
+    bg.size = list(size)
+    bg.synth_args = types.SimpleNamespace(
+        ct_prob=0.0, bspline_zooming=False, gamma_std=0.1,
+        bf_scale_min=0.02, bf_scale_max=0.04, bf_std_min=0.1,
+        bf_std_max=0.6, noise_std_min=5.0, noise_std_max=15.0)
+    bg.gen_args = types.SimpleNamespace(
+        mix_synth_prob=0.0, generator=bg.synth_args)
+    bg.augmentation_steps = {"synth": ["gamma", "bias_field", "resample",
+                                       "noise"],
+                             "real": ["gamma", "bias_field", "resample",
+                                      "noise"]}
+    ii, jj, kk = np.meshgrid(*[np.arange(s, dtype=np.float32)
+                               for s in size], indexing="ij")
+    grid = [torch.tensor(ii), torch.tensor(jj), torch.tensor(kk),
+            0, 0, 0, size[0], size[1], size[2]]
+    G_stub = types.SimpleNamespace(get_fdata=lambda: G_full)
+    setups = {"photo_mode": False, "spac": 4.0, "flip": False,
+              "resolution": np.asarray([1.0, 1.0, 1.0]),
+              "thickness": np.asarray([1.0, 1.0, 1.0])}
+
+    np.random.seed(11)
+    torch.manual_seed(11)
+    ref_vox = []
+    for _ in range(6):
+        _, _, sample = bg.generate_sample(
+            "dbg", G_stub, setups, {"grid": grid},
+            np.asarray([1.0, 1.0, 1.0]), {})
+        ref_vox.append(np.asarray(sample["input"]).ravel())
+    ref_vox = np.concatenate(ref_vox)
+
+    # --- ours: synth_item with (near-)identity deformation bounds and the
+    # same knob ranges; 1 mm fixed resolution (low_res branch off via the
+    # sampled setup is stochastic — pin by zeroing deformation and
+    # comparing marginals over seeds, resolution roulette matched by
+    # using identical acquisition branch probabilities)
+    from brainfm_tpu.synth.engine import build_knobs_stack, synth_item
+    from brainfm_tpu.synth.params import SynthStatic
+
+    scfg = SynthStatic(size=size, max_rotation=0.01, max_shear=0.001,
+                       max_scaling=0.001, nonlin_scale_min=0.01,
+                       nonlin_scale_max=0.02, nonlin_std_max=0.01,
+                       photo_prob=0.0, flip_prob=0.0, all_samples=1,
+                       mild_samples=0, low_res_only=False)
+    knobs = build_knobs_stack(scfg, "synth")
+    subj = bank.to_device(0)
+    our_vox = []
+    for i in range(6):
+        _t, s = synth_item(jax.random.PRNGKey(100 + i), subj, scfg,
+                           ("T1",), "synth", knobs)
+        our_vox.append(np.asarray(s["input"]).ravel())
+    our_vox = np.concatenate(our_vox)
+
+    # both are max-normalized to [0,1]; compare coarse distribution shape
+    for q in (0.25, 0.5, 0.75, 0.9):
+        rq = np.quantile(ref_vox, q)
+        oq = np.quantile(our_vox, q)
+        assert abs(rq - oq) < 0.12, (q, rq, oq)
+    assert abs(ref_vox.mean() - our_vox.mean()) < 0.08
+    assert abs(ref_vox.std() - our_vox.std()) < 0.08
+
+
 def test_chain_order_golden(ref):
     """The FULL augmentation chain with injected draws: gamma -> bias ->
     resample -> noise -> restore (datasets.py:328-345). A swapped order
