@@ -122,6 +122,12 @@ def main():
     # secondary: fp32 reference-parity blending (the evaluate_tiled
     # default; the primary above is the bf16 speed mode)
     if time.time() - T_START < budget:
+        import gc
+
+        # release the bf16 canvases first: ~70 output channels x 220^3
+        # held in BOTH precisions exceeds HBM
+        del out, out2
+        gc.collect()
         out = inf.evaluate_tiled(vol, stride=(80, 80, 80),
                                  win_size=(160, 160, 160),
                                  run_postprocess=False)

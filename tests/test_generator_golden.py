@@ -195,6 +195,60 @@ def test_bias_field_golden(ref):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_affine_matrix_golden(ref):
+    """make_affine_matrix (utils.py:102-116): shear/rotation composition
+    order and row-wise scaling must match exactly."""
+    rng = np.random.default_rng(5)
+    rot = (rng.random(3) * 30 - 15) / 180 * np.pi
+    sh = rng.random(3) * 0.4 - 0.2
+    s = 1 + rng.random(3) * 0.4 - 0.2
+
+    import Generator.utils as ru
+
+    A_ref = ru.make_affine_matrix(rot, sh, s)
+
+    from brainfm_tpu.synth.deform import make_affine_matrix
+
+    A = make_affine_matrix(jnp.asarray(rot, jnp.float32),
+                           jnp.asarray(sh, jnp.float32),
+                           jnp.asarray(s, jnp.float32))
+    np.testing.assert_allclose(np.asarray(A), A_ref, rtol=1e-5, atol=1e-6)
+
+
+def test_svf_integration_golden(ref):
+    """Scaling-and-squaring SVF integration (datasets.py:214-223) on the
+    same injected velocity field: F and its negative."""
+    size = (14, 14, 14)
+    rng = np.random.default_rng(6)
+    F = (2.0 * rng.standard_normal((*size, 3))).astype(np.float32)
+    n_steps = 4
+
+    import Generator.utils as ru
+
+    xx, yy, zz = np.meshgrid(*[np.arange(s, dtype=np.float32)
+                               for s in size], indexing="ij")
+    xx, yy, zz = (torch.tensor(v) for v in (xx, yy, zz))
+    step = 1.0 / (2.0 ** n_steps)
+    Fsvf = torch.tensor(F) * step
+    for _ in range(n_steps):
+        Fsvf = Fsvf + ru.fast_3D_interp_torch(
+            Fsvf, xx + Fsvf[:, :, :, 0], yy + Fsvf[:, :, :, 1],
+            zz + Fsvf[:, :, :, 2], "linear")
+    Fneg = -torch.tensor(F) * step
+    for _ in range(n_steps):
+        Fneg = Fneg + ru.fast_3D_interp_torch(
+            Fneg, xx + Fneg[:, :, :, 0], yy + Fneg[:, :, :, 1],
+            zz + Fneg[:, :, :, 2], "linear")
+
+    from brainfm_tpu.synth.deform import integrate_svf
+
+    ours, ours_neg = integrate_svf(jnp.asarray(F), n_steps)
+    np.testing.assert_allclose(np.asarray(ours), Fsvf.numpy(), rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ours_neg), Fneg.numpy(),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_full_item_distribution(ref):
     """Distribution-level check of the FULL synthesis path: the reference
     BaseGen.generate_sample -> augment_sample (identity deformation, real
