@@ -51,6 +51,11 @@ def emit_json(vols_per_sec):
     sys.stdout.flush()
 
 
+def log_ts(msg):
+    print(f"# [{time.time()-T_START:6.1f}s] {msg}", file=sys.stderr)
+    sys.stderr.flush()
+
+
 def main():
     from brainfm_tpu.config import AttrDict
     from brainfm_tpu.infer.api import Inferencer
@@ -67,8 +72,10 @@ def main():
         "layer_order": "gcl", "unit_feat": False, "task_f_maps": [64],
         "max_surf_distance": 3.0,
     })
+    log_ts("imports done; building Inferencer (jit init)...")
     inf = Inferencer(cfg, ckpt_path=None, compute_dtype=jnp.bfloat16,
                      exact=False)
+    log_ts("Inferencer ready")
 
     # whole-brain 1mm volume (reference inference shape, 220^3 twin of
     # demo_test): tiles 160^3, stride 80 -> 8 full-size windows (2 starts
@@ -86,10 +93,12 @@ def main():
     # warmup/compile (fused single-dispatch scan over the tile grid).
     # bf16 canvas accumulation is the opt-in speed mode (~0.4% blend
     # error; evaluate_tiled defaults to fp32 reference-parity blending)
+    log_ts("compiling/loading tiled graph...")
     out = inf.evaluate_tiled(vol, stride=(80, 80, 80),
                              win_size=(160, 160, 160), run_postprocess=False,
                              accum_dtype=jnp.bfloat16)
     sync(out)
+    log_ts("tiled graph ready")
     # constant-folding guard (ARCHITECTURE.md measurement trap): a second,
     # different input must yield a different output — a zero-arg/closed-
     # over jit would constant-fold and return identical values

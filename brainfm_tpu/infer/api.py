@@ -63,11 +63,13 @@ class Inferencer:
         self._jitted = jax.jit(self._forward)
 
     def _init_params(self):
-        size = tuple(self.cfg.generator.size)
-        x = jnp.zeros((1, *size, 1), jnp.float32)
-        # jit: an eager flax init executes the full-size forward op-by-op
-        # (~25 ms/dispatch over the relay = tens of minutes for L6 at
-        # 160^3); jitted it is one compile + one run
+        # conv params are spatial-size independent: init at the smallest
+        # extent the pooling tower accepts (2^(levels-1)) instead of the
+        # full inference size — and jitted (an eager flax init executes
+        # the forward op-by-op at ~25 ms/dispatch over the relay)
+        n_levels = int(self.cfg.get("num_levels") or 5)
+        e = max(2 ** (n_levels - 1), 16)
+        x = jnp.zeros((1, e, e, e, 1), jnp.float32)
         return jax.jit(self.model.init)(jax.random.PRNGKey(0), x)
 
     def _precision_ctx(self):

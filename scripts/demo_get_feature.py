@@ -35,8 +35,13 @@ def main():
     ap.add_argument("img_path")
     ap.add_argument("--ckp_path", default=None)
     ap.add_argument("--save_path", default=None)
+    ap.add_argument("--train_cfg", default=None)
+    ap.add_argument("--win", type=int, nargs=3, default=None)
     args = ap.parse_args()
-    feat = get_brainid_feat(args.img_path, args.ckp_path)
+    feat = get_brainid_feat(args.img_path, args.ckp_path,
+                            win_size=args.win,
+                            cfg_paths=(args.train_cfg,) if args.train_cfg
+                            else ())
     print("feature:", feat.shape, feat.dtype)
     if args.save_path:
         np.save(args.save_path, np.asarray(feat))
