@@ -240,7 +240,9 @@ def _finish_sample(key, idef, cfg, setup, knobs, tasks, target,
         enc = encode_pathology(k1, idef, p, pprob, pathol_direction)
         idef = jnp.where(jnp.sum(p) > 0, jnp.maximum(enc, 0.0), idef)
 
-    restored, aux = augment_chain(k2, idef, cfg, setup, knobs,
+    steps = cfg.aug_steps_synth if input_mode == "synth" \
+        else cfg.aug_steps_real
+    restored, aux = augment_chain(k2, idef, cfg, setup, knobs, steps=steps,
                                   is_ct=(input_mode == "CT"))
     maxi = jnp.maximum(jnp.max(restored), 1e-12)
     final = restored / maxi

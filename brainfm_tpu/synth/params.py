@@ -73,6 +73,13 @@ class SynthStatic:
     approx_warp_targets: bool = True
     # resolution of the training data (datasets.py:153)
     res_training_data: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    # per-mode augmentation chains (parity: cfg augmentation_steps,
+    # cfgs/generator/default.yaml:57 + the per-mode chain selection of
+    # augment_sample, datasets.py:330-331); static tuples -> jit-static
+    aug_steps_synth: Tuple[str, ...] = ("gamma", "bias_field", "resample",
+                                        "noise")
+    aug_steps_real: Tuple[str, ...] = ("gamma", "bias_field", "resample",
+                                       "noise")
 
     @classmethod
     def from_cfg(cls, cfg):
@@ -126,6 +133,12 @@ class SynthStatic:
             mild_samples=int(gv(g, "mild_samples", 0)),
             approx_warp=bool(gv(g, "approx_warp", True)),
             approx_warp_targets=bool(gv(g, "approx_warp_targets", True)),
+            aug_steps_synth=tuple(
+                (gv(cfg, "augmentation_steps", None) or {}).get(
+                    "synth", ("gamma", "bias_field", "resample", "noise"))),
+            aug_steps_real=tuple(
+                (gv(cfg, "augmentation_steps", None) or {}).get(
+                    "real", ("gamma", "bias_field", "resample", "noise"))),
         )
 
 
