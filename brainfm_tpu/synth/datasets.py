@@ -20,7 +20,7 @@ import numpy as np
 
 import jax
 
-from .engine import SubjectBank, build_knobs_stack, synth_item
+from .engine import SubjectBank, build_knobs_stack, knobs_from_cfg, synth_item
 from .params import SynthStatic
 from .sampler import WeightedSubjectSampler, choose_modality
 
@@ -144,6 +144,7 @@ class SynthDataset:
         self.static = static
         self.bank = SubjectBank(bank_shape)
         self.input_prob = input_prob or {}
+        self._gen_cfg = gen_cfg
         self._rng = np.random.default_rng(abs(hash(name)) % (2 ** 31))
         self._knobs = {}
 
@@ -227,7 +228,8 @@ class SynthDataset:
             subject["pathol_prob"] = jnp.asarray(
                 self._lesions[self._rng.integers(len(self._lesions))])
         if mode not in self._knobs:
-            self._knobs[mode] = build_knobs_stack(self.static, mode)
+            self._knobs[mode] = knobs_from_cfg(self._gen_cfg, self.static,
+                                               mode)
         return synth_item(key, subject, self.static, self.tasks, mode,
                           self._knobs[mode])
 

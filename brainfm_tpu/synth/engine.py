@@ -444,13 +444,14 @@ REAL_NOISE = dict(noise_std_min=0.0, noise_std_max=0.02)
 
 
 def build_knobs_stack(cfg: SynthStatic, input_mode: str,
-                      mild=None, severe=None):
+                      mild=None, severe=None, noise=None):
     """Per-sample augmentation strengths (parity: BrainIDGen's
     update_gen_args dance, datasets.py:728-748: mild/severe by sample index,
     then the synth/real noise override)."""
     mild = dict(MILD_KNOBS, **(mild or {}))
     severe = dict(SEVERE_KNOBS, **(severe or {}))
-    noise = SYNTH_NOISE if input_mode == "synth" else REAL_NOISE
+    noise = dict(SYNTH_NOISE if input_mode == "synth" else REAL_NOISE,
+                 **(noise or {}))
     rows = []
     for i in range(cfg.all_samples):
         row = dict(mild if i < cfg.mild_samples else severe)
@@ -458,6 +459,28 @@ def build_knobs_stack(cfg: SynthStatic, input_mode: str,
         rows.append(row)
     return {k: jnp.asarray([r[k] for r in rows], jnp.float32)
             for k in rows[0]}
+
+
+def knobs_from_cfg(cfg_tree, scfg: SynthStatic, input_mode: str):
+    """Knob rows from the config tree's mild_generator / severe_generator /
+    synth_image_generator / real_image_generator blocks (parity: the
+    update_gen_args swaps of BrainIDGen, datasets.py:697-748 — the blocks
+    become traced knob rows instead of config mutation). Unknown keys
+    (e.g. the reference's unused bag_*) are ignored; missing blocks fall
+    back to the baked defaults."""
+    known = set(MILD_KNOBS) | set(SYNTH_NOISE)
+
+    def blk(name):
+        b = cfg_tree.get(name) if hasattr(cfg_tree, "get") else None
+        if not b or not hasattr(b, "items"):
+            return {}
+        return {k: float(v) for k, v in dict(b).items() if k in known}
+
+    noise_name = ("synth_image_generator" if input_mode == "synth"
+                  else "real_image_generator")
+    return build_knobs_stack(scfg, input_mode, mild=blk("mild_generator"),
+                             severe=blk("severe_generator"),
+                             noise=blk(noise_name))
 
 
 class SubjectBank:

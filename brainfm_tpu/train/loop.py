@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..synth import SynthStatic, synth_item
-from ..synth.engine import build_knobs_stack
+from ..synth.engine import build_knobs_stack, knobs_from_cfg
 from ..utils.logging import MetricLogger, setup_logging, write_log_line
 from .checkpoint import save_checkpoint
 from .schedules import build_schedules
@@ -163,7 +163,7 @@ def train(cfg, model, weight_dict, loss_fn, bank, out_dir: str,
 
     lr_sched, wd_sched = build_schedules(cfg, itr_per_epoch)
     step_fn = make_train_step(model, cfg, weight_dict, loss_fn, optimizer)
-    knobs = {m: build_knobs_stack(scfg, m) for m in set(input_modes)}
+    knobs = {m: knobs_from_cfg(cfg, scfg, m) for m in set(input_modes)}
 
     # multi-chip: replicate state, shard batches, run under set_mesh
     import contextlib
@@ -235,7 +235,7 @@ def train(cfg, model, weight_dict, loss_fn, bank, out_dir: str,
                         subj = dict(subj)
                         subj["image"] = subj[mode]
                     if mode not in knobs:
-                        knobs[mode] = build_knobs_stack(scfg, mode)
+                        knobs[mode] = knobs_from_cfg(cfg, scfg, mode)
                 else:
                     mode = input_modes[rng_host.integers(len(input_modes))]
                 batch = make_batch(item_keys, subj, scfg, tasks, mode,
