@@ -256,11 +256,37 @@ def train(cfg, model, weight_dict, loss_fn, bank, out_dir: str,
             if vis_itr and gstep % vis_itr == 0:
                 # periodic montage (parity: engine.py:167-179)
                 from ..models.build import apply_processors
-                from ..utils.visualizer import TaskVisualizer
+                from ..utils.visualizer import FeatVisualizer, TaskVisualizer
 
+                vcfg = cfg.get("visualizer") if hasattr(cfg, "get") else None
                 outs = apply_processors(
                     model.apply(state.params, batch["samples"]["input"][0]),
                     cfg)
+                if vcfg is not None and vcfg.get("feat_vis"):
+                    # decoder-feature strips (parity: FeatVisualizer wiring,
+                    # scripts/train.py:143)
+                    FeatVisualizer(
+                        os.path.join(out_dir, "vis_feat"),
+                        n_channels=int(vcfg.get("feat_vis_num") or 10)
+                    ).visualize(gstep, outs["feat"][-1])
+                if vcfg is not None and vcfg.get("make_results"):
+                    # NIfTI volume dumps (parity: make_results,
+                    # Trainer/engine.py:21-62,173-174)
+                    from ..utils.nifti import viewVolume
+
+                    rdir = os.path.join(out_dir, "vis", f"results_{gstep}")
+                    os.makedirs(rdir, exist_ok=True)
+                    viewVolume(np.asarray(
+                        batch["samples"]["input"][0, 0, ..., 0]),
+                        names=["input"], save_dir=rdir)
+                    for k in ("T1", "label", "bias_field_log"):
+                        if k in outs:
+                            viewVolume(np.asarray(outs[k][0]).squeeze(),
+                                       names=[f"pd_{k}"], save_dir=rdir)
+                        if k in batch["targets"]:
+                            viewVolume(np.asarray(
+                                batch["targets"][k][0, 0]).squeeze(),
+                                names=[f"gt_{k}"], save_dir=rdir)
                 TaskVisualizer(os.path.join(out_dir, "vis")).visualize(
                     gstep, {k: v[0] for k, v in batch["samples"].items()},
                     {k: v[0] for k, v in batch["targets"].items()},

@@ -77,10 +77,13 @@ def main():
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--resume", default=None)
     ap.add_argument("--debug", action="store_true")
+    ap.add_argument("--eval_only", action="store_true",
+                    help="restore a checkpoint and score the val set only")
     ap.add_argument("--mesh", default=None,
                     help="multi-chip mesh 'DATA' or 'DATAxSPACE', e.g. 8 "
                          "or 4x2 (batch over data, volume D over space)")
-    ap.add_argument("--batch_items", type=int, default=1)
+    ap.add_argument("--batch_items", type=int, default=0,
+                    help="items per step (0 = cfg.batch_size)")
     args = ap.parse_args()
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -121,9 +124,34 @@ def main():
         mesh = make_mesh(data=parts[0],
                          space=parts[1] if len(parts) > 1 else 1)
     itr = 2 if args.debug else args.itr_per_epoch
+    batch_items = args.batch_items or int(cfg.get("batch_size") or 1)
+    if args.eval_only or cfg.get("eval_only"):
+        # (parity: the eval_only short-circuit, scripts/train.py:176-183):
+        # restore and score the fixed-seed val set, no training
+        cfg.n_epochs = 0
+        from brainfm_tpu.synth.engine import knobs_from_cfg
+        from brainfm_tpu.synth.params import SynthStatic
+        from brainfm_tpu.train.loop import make_eval_step, make_val_set
+
+        scfg = SynthStatic.from_cfg(cfg)
+        d0 = datasets[stream.names[0]]
+        knobs = {"synth": knobs_from_cfg(cfg, scfg, "synth")}
+        vb = make_val_set(d0.bank, scfg, tuple(cfg.tasks), ("synth",),
+                          knobs, seed=0, n_items=2)
+        import jax.numpy as jnp
+
+        from brainfm_tpu.infer.api import Inferencer
+
+        inf = Inferencer(cfg, ckpt_path=args.resume)
+        ev = make_eval_step(model, cfg, weight_dict, loss_fn)
+        for i, b in enumerate(vb):
+            losses = ev(inf.params, b)
+            print(f"val[{i}]:",
+                  {k: round(float(v), 4) for k, v in losses.items()})
+        return
     state = train(cfg, model, weight_dict, loss_fn, None, out_dir,
                   itr_per_epoch=itr, resume=args.resume, stream=stream,
-                  mesh=mesh, batch_items=args.batch_items)
+                  mesh=mesh, batch_items=batch_items)
     print("training done; final step", int(state.step))
 
 
