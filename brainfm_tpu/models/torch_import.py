@@ -144,3 +144,124 @@ def import_checkpoint(path: str, sep_decoders: bool = False) -> dict:
     """Load a reference .pth and return flax params {'params': ...}."""
     state = load_torch_state_dict(path)
     return {"params": torch_to_flax_params(state, sep_decoders=sep_decoders)}
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy alignment (parity: align_and_update_state_dicts,
+# /root/reference/utils/checkpoint.py:538-680). Operates on flax pytrees
+# flattened to dot-joined paths, with the reference's heuristics:
+# suffix matching with longest-ckpt-key disambiguation, a `to_match`
+# rename table, `exclude_key` filtering (excluded model params keep their
+# current values — reference scripts/train.py:182 uses 'supervised_seg'),
+# and 2D->3D shape-mismatch handling: a rank-(n-1) checkpoint kernel is
+# loaded into the centre depth frame of the rank-n model kernel with all
+# other frames zeroed (checkpoint.py:592-617, translated from torch OIDHW
+# centre-T to flax DHWIO centre-D).
+# ---------------------------------------------------------------------------
+
+
+def flatten_params(tree, prefix: str = "") -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(flatten_params(v, f"{prefix}{k}."))
+    else:
+        out[prefix[:-1]] = tree
+    return out
+
+
+def _unflatten(flat: Dict[str, np.ndarray]) -> dict:
+    tree: dict = {}
+    for k, v in flat.items():
+        _set(tree, k.split("."), v)
+    return tree
+
+
+def align_params(target: dict, imported: dict, exclude_key: str | None = None,
+                 to_match: Dict[str, str] | None = None, to_print: bool = False):
+    """Align an imported param pytree onto ``target``'s structure.
+
+    Returns ``(aligned_tree, report)`` where ``aligned_tree`` has exactly
+    the keys/shapes of ``target`` (matched keys take the imported values,
+    unmatched/excluded keys keep the target's), and ``report`` lists
+    ``matched`` (model_key, ckpt_key), ``inflated``, ``skipped_shape``,
+    ``unmatched_model`` and ``unmatched_ckpt`` keys.
+    """
+    to_match = to_match or {}
+    tgt = flatten_params(target)
+    imp = flatten_params(imported)
+    model_keys = sorted(k for k in tgt
+                        if exclude_key is None or exclude_key not in k)
+    ckpt_keys = sorted(imp)
+
+    def matches(a: str, b: str) -> bool:
+        if a == b or a.endswith("." + b):
+            return True
+        for old, new in to_match.items():
+            c = b.replace(old, new)
+            if a == c or a.endswith("." + c):
+                return True
+        return False
+
+    result = dict(tgt)
+    matched: Dict[str, str] = {}  # ckpt key -> model key
+    report = {"matched": [], "inflated": [], "skipped_shape": [],
+              "unmatched_model": [], "unmatched_ckpt": []}
+    for mk in model_keys:
+        best, best_len = None, 0
+        for ck in ckpt_keys:
+            if len(ck) > best_len and matches(mk, ck):
+                best, best_len = ck, len(ck)
+        if best is None:
+            continue
+        if best in matched:
+            raise ValueError(
+                f"Cannot match one checkpoint key to multiple keys in the "
+                f"model: {best} -> {matched[best]} and {mk}")
+        val = np.asarray(imp[best])
+        shape = tuple(np.shape(tgt[mk]))
+        if shape != val.shape:
+            if len(shape) == len(val.shape):
+                # same-rank mismatch (different channel widths): skip
+                report["skipped_shape"].append((mk, best))
+                continue
+            if len(shape) == len(val.shape) + 1 and shape[1:] == val.shape:
+                # 2D->3D: centre depth frame carries the 2D kernel
+                inflated = np.zeros(shape, val.dtype)
+                inflated[shape[0] // 2] = val
+                result[mk] = inflated
+                matched[best] = mk
+                report["inflated"].append((mk, best))
+                continue
+            report["skipped_shape"].append((mk, best))
+            continue
+        result[mk] = val.astype(np.asarray(tgt[mk]).dtype, copy=False)
+        matched[best] = mk
+        report["matched"].append((mk, best))
+    report["unmatched_model"] = [k for k in model_keys
+                                 if k not in set(matched.values())]
+    report["unmatched_ckpt"] = [k for k in ckpt_keys if k not in matched]
+    if to_print:
+        for mk, ck in report["matched"] + report["inflated"]:
+            print(f"matched {ck} -> {mk}")
+        for k in report["unmatched_model"]:
+            print(f"unmatched in model: {k}")
+    return _unflatten(result), report
+
+
+def import_checkpoint_aligned(path: str, target: dict,
+                              exclude_key: str | None = None,
+                              to_match: Dict[str, str] | None = None) -> dict:
+    """import_checkpoint + fuzzy alignment onto a live model's params.
+
+    TPU-native replacement for the reference's
+    ``load_checkpoint(..., exclude_key=...)`` path
+    (utils/checkpoint.py:409-458): converts the torch state dict, then
+    aligns it onto ``target`` so partial/renamed/2D checkpoints load.
+    """
+    imported = import_checkpoint(path)
+    tgt_inner = target.get("params", target)
+    imp_inner = imported.get("params", imported)
+    aligned, _ = align_params(tgt_inner, imp_inner,
+                              exclude_key=exclude_key, to_match=to_match)
+    return {"params": aligned}

@@ -112,11 +112,22 @@ def load_checkpoint(path: str, abstract_state):
                       restored["step"])
 
 
-def load_reference_pth(path: str):
+def load_reference_pth(path: str, target=None, exclude_key: str | None = None,
+                       to_match: dict | None = None):
     """Import a reference torch checkpoint into flax params
-    (see models/torch_import.py)."""
-    from ..models.torch_import import import_checkpoint
+    (see models/torch_import.py).
 
+    With ``target`` (a live model's params pytree), the import goes through
+    the fuzzy aligner so partial/renamed/2D checkpoints load and excluded
+    keys keep their live init (parity: load_checkpoint(..., exclude_key=
+    'supervised_seg'), /root/reference/scripts/train.py:182)."""
+    from ..models.torch_import import (import_checkpoint,
+                                       import_checkpoint_aligned)
+
+    if target is not None:
+        return import_checkpoint_aligned(path, target,
+                                         exclude_key=exclude_key,
+                                         to_match=to_match)
     return import_checkpoint(path)
 
 
