@@ -26,12 +26,13 @@ T_START = time.time()
 
 
 def emit_json(vols_per_sec):
-    # measured reference line (BASELINE.md): torch reference UNet3D f64 L5
-    # on this host's CPU = 185 s / 160^3 tile; the reference's stride-80
+    # measured reference line (BASELINE.md): torch reference UNet3D f64
+    # **L6 flagship** on this host's CPU = 448 s warm / 160^3 tile
+    # (433-463 s over two runs, 2026-08-17); the reference's stride-80
     # walk over 220^3 covers 240^3 voxels of mixed-size windows ->
-    # 185 s x (240/160)^3 = 624 s/volume = 0.0016 vol/s. No GPU measurable
-    # here.
-    baseline = 0.0016
+    # 448 s x (240/160)^3 = 1512 s/volume = 0.00066 vol/s. No GPU
+    # measurable here.
+    baseline = 0.00066
     try:
         with open("/root/repo/BASELINE.json") as f:
             bl = json.load(f)
@@ -44,8 +45,8 @@ def emit_json(vols_per_sec):
         "value": round(vols_per_sec, 4),
         "unit": "volumes/s (220^3 @1mm, 8x160^3 tiles stride 80, joint "
                 "8-task UNet3D f64 L6 flagship; vs_baseline = ratio to "
-                "torch reference on 8-thread CPU measured at L5 (L6 would "
-                "be slower), 0.0016 vol/s — see BASELINE.md)",
+                "torch reference L6 flagship on 8-thread CPU, "
+                "0.00066 vol/s — see BASELINE.md)",
         "vs_baseline": round(vols_per_sec / baseline, 4),
     }))
     sys.stdout.flush()
