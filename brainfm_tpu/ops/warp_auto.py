@@ -21,7 +21,10 @@ Routing (static at trace time, so the jitted generator stays one graph):
 
 Patch extents come from `plan_trim` over the generator's affine bounds
 plus an SVF spread margin; coordinates beyond the static patch clamp to
-its edge and are counted in the kernel's overflow output.
+its edge and are counted in the kernel's overflow output — and any item
+with a nonzero count recomputes through the exact XLA gather via
+`lax.cond` (`_overflow_guard`), so the routed result always equals the
+gather semantics regardless of the planner's caps.
 """
 
 from __future__ import annotations
@@ -75,8 +78,8 @@ def pallas_backend() -> bool:
 def svf_trim_margin(cfg) -> float:
     """Within-tile SVF spread allowance: adjacent low-res nodes are
     independent N(0, nonlin_std) draws, pairwise spread std sqrt(2)*std;
-    2.5 sigma covers the practical tail (overflowing voxels clamp to the
-    patch edge and are counted, not corrupted)."""
+    2.5 sigma covers the practical tail (items overflowing it recompute
+    exactly — see _overflow_guard)."""
     if not getattr(cfg, "nonlinear_transform", True):
         return 1.0
     return 2.5 * 1.4142135 * float(getattr(cfg, "nonlin_std_max", 4.0))
@@ -105,14 +108,25 @@ def _blocks_plan(bounds):
     warnings.warn(
         f"pallas warp: worst-case plan_trim{tuple(trim)} exceeds kernel "
         f"coverage caps {_TRIM_CAPS} for bounds {bounds}; using capped "
-        f"trim {capped}. Tail deformations beyond the patch clamp to its "
-        "edge — set brainfm_tpu.ops.warp_auto.DEBUG_OVERFLOW=True to "
-        "assert the overflow count stays zero, or set PALLAS_WARP=False "
-        "for the exact XLA gather.")
+        f"trim {capped}. Items whose deformation actually leaves the "
+        "patch recompute through the exact XLA gather automatically "
+        "(lax.cond on the kernel's overflow count — see _overflow_guard); "
+        "only the fallback's extra latency, not correctness, is at stake.")
     return _TILE, capped
 
 
-def _check_overflow(out_and_count):
+def _overflow_guard(out_and_count, exact_fn):
+    """Kernel result with an exact-recompute fallback.
+
+    The static patch clamps coordinates that leave it and counts them in
+    the kernel's overflow output; when the count is nonzero the whole warp
+    is recomputed through the exact XLA gather via `lax.cond` — so the
+    Pallas path is ALWAYS semantically identical to the gather (modulo
+    compute_dtype rounding), at zero steady-state cost (the fallback
+    branch executes only on overflow; measured 0 overflows over 82M
+    voxels / 20 real-bounds draws, v5e 2026-08-17). Note: under `vmap`
+    batching a `cond` lowers to a both-branches `select` — the warp sites
+    in synth/ and infer/ are plain (unbatched) calls."""
     out, count = out_and_count
     if DEBUG_OVERFLOW:
         def _raise_if(c):
@@ -123,7 +137,9 @@ def _check_overflow(out_and_count):
                     "the cfg or disable PALLAS_WARP")
 
         jax.debug.callback(_raise_if, count)
-    return out
+    return jax.lax.cond(count > 0,
+                        lambda: exact_fn().astype(out.dtype),
+                        lambda: out)
 
 
 def _cfg_bounds(cfg):
@@ -147,9 +163,10 @@ def warp_labels(vol, grid, cfg):
         plan = _blocks_plan(_cfg_bounds(cfg))
         if plan is not None:
             tile, trim = plan
-            return _check_overflow(warp_blocks(
-                vol, ii, jj, kk, 0.0, tile=tile, trim=trim,
-                mode="nearest", compute_dtype=jnp.bfloat16))
+            return _overflow_guard(
+                warp_blocks(vol, ii, jj, kk, 0.0, tile=tile, trim=trim,
+                            mode="nearest", compute_dtype=jnp.bfloat16),
+                lambda: nearest3d(vol, ii, jj, kk))
     return nearest3d(vol, ii, jj, kk)
 
 
@@ -166,7 +183,8 @@ def warp_volume(vol, grid, cfg, default=0.0, approx=False):
         if plan is not None:
             tile, trim = plan
             cdt = jnp.bfloat16 if approx else jnp.float32
-            return _check_overflow(warp_blocks(
-                vol, ii, jj, kk, default, tile=tile, trim=trim,
-                compute_dtype=cdt))
+            return _overflow_guard(
+                warp_blocks(vol, ii, jj, kk, default, tile=tile, trim=trim,
+                            compute_dtype=cdt),
+                lambda: trilinear3d(vol, ii, jj, kk, default))
     return trilinear3d(vol, ii, jj, kk, default)

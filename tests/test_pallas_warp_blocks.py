@@ -129,3 +129,34 @@ def test_lut_apply_matches_take():
     o1 = lut_apply(t1, i1, interpret=True)
     assert o1.dtype == t1.dtype
     assert (np.asarray(o1) == np.asarray(t1)[np.asarray(i1)]).all()
+
+
+def test_overflow_guard_recomputes_exactly():
+    """A trim too small for the deformation overflows the patch; the
+    routed result must then equal the exact gather via the lax.cond
+    fallback (ops/warp_auto._overflow_guard), not the clamped kernel
+    output."""
+    from brainfm_tpu.ops.warp_auto import _overflow_guard
+
+    rng = np.random.default_rng(11)
+    D = H = W = 72
+    vol = jnp.asarray(rng.random((D, H, W)), jnp.float32)
+    # large displacement so source coords spread far beyond a 16^3 patch
+    ii, jj, kk = _smooth_grid((24, 24, 32), D, H, W, scale=1.6, disp=9.0)
+    kout = warp_blocks(vol, ii, jj, kk, -7.0, tile=(8, 8, 16),
+                       trim=(16, 16, 48), compute_dtype=jnp.float32,
+                       interpret=True)
+    assert int(kout[1]) > 0, "test needs an actually-overflowing trim"
+    ref = trilinear3d(vol, ii, jj, kk, default=-7.0)
+    assert not np.allclose(np.asarray(kout[0]), np.asarray(ref)), \
+        "clamped kernel output should differ when voxels overflow"
+    out = _overflow_guard(kout, lambda: trilinear3d(vol, ii, jj, kk, -7.0))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    # and with NO overflow the kernel's own result is kept
+    k2 = warp_blocks(vol, ii, jj, kk, -7.0, tile=(8, 8, 16),
+                     trim=(48, 48, 72), compute_dtype=jnp.float32,
+                     interpret=True)
+    assert int(k2[1]) == 0
+    out2 = _overflow_guard(k2, lambda: jnp.full_like(ref, jnp.nan))
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(k2[0]))
