@@ -15,6 +15,17 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def path_stem(p: str) -> str:
+    """Path minus its NIfTI extension. A bare split('.')[0] would mangle
+    relative paths ('./x.nii.gz' -> '') and dotted directories
+    ('out.v2/x.nii.gz' -> 'out')."""
+    if p.endswith(".nii.gz"):
+        return p[: -len(".nii.gz")]
+    if p.endswith(".nii"):
+        return p[: -len(".nii")]
+    return os.path.splitext(p)[0]
+
+
 def dice(pred_onehot, target_onehot, eps: float = 1e-5):
     """Per-channel dice over spatial dims; inputs (..., D,H,W,C)."""
     axes = tuple(range(pred_onehot.ndim - 4, pred_onehot.ndim - 1))
@@ -248,7 +259,7 @@ class Evaluator:
         if add_mask and "_masked" not in pred_path:
             pred = np.where(target == 0, 0, pred)
             pred = np.where(pred < 0, 0, pred)
-            save_nifti(pred_path.split(".")[0] + "_masked.nii.gz",
+            save_nifti(path_stem(pred_path) + "_masked.nii.gz",
                        np.asarray(pred, np.float32), aff)
         if normalize:
             pred = (pred - np.min(pred)) / max(np.max(pred) - np.min(pred),

@@ -226,9 +226,13 @@ def align_params(target: dict, imported: dict, exclude_key: str | None = None,
                 report["skipped_shape"].append((mk, best))
                 continue
             if len(shape) == len(val.shape) + 1 and shape[1:] == val.shape:
-                # 2D->3D: centre depth frame carries the 2D kernel
-                inflated = np.zeros(shape, val.dtype)
-                inflated[shape[0] // 2] = val
+                # 2D->3D: centre depth frame carries the 2D kernel (cast to
+                # the target leaf's dtype like the exact-match branch —
+                # a stray fp32 leaf in an fp64/bf16 tree breaks later
+                # structure-matched restores)
+                tdt = np.asarray(tgt[mk]).dtype
+                inflated = np.zeros(shape, tdt)
+                inflated[shape[0] // 2] = val.astype(tdt, copy=False)
                 result[mk] = inflated
                 matched[best] = mk
                 report["inflated"].append((mk, best))

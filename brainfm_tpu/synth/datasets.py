@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import glob
 import os
+import zlib
 from typing import Dict, Optional
 
 import numpy as np
@@ -145,7 +146,7 @@ class SynthDataset:
         self.bank = SubjectBank(bank_shape)
         self.input_prob = input_prob or {}
         self._gen_cfg = gen_cfg
-        self._rng = np.random.default_rng(abs(hash(name)) % (2 ** 31))
+        self._rng = np.random.default_rng(zlib.crc32(name.encode()))
         self._knobs = {}
 
         data_root = getattr(gen_cfg, "data_root", None)
@@ -209,9 +210,11 @@ class SynthDataset:
     def reseed(self, seed: int):
         """Re-seed the host-side modality roulette so an epoch's draws are
         reproducible from (seed, epoch) — the determinism upgrade over the
-        reference's time-based per-epoch reseed (Trainer/engine.py:73-76)."""
+        reference's time-based per-epoch reseed (Trainer/engine.py:73-76).
+        crc32, not hash(): the built-in str hash is salted per process, so
+        a resumed run would otherwise draw a different stream."""
         self._rng = np.random.default_rng(
-            (abs(hash(self.name)) % (2 ** 31), seed))
+            (zlib.crc32(self.name.encode()), seed))
 
     def get(self, idx: int, key):
         """One training item for subject idx: (target, samples[S,...])."""

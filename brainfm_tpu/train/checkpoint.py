@@ -28,27 +28,30 @@ def save_checkpoint(ckpt_dir: str, step: int, state, extra: dict | None = None,
     ckpt_* dirs remain (the reference keeps a rolling 2: the live
     brainfm_pretrained.pth + its _bk rename, scripts/train.py:196-198;
     best-checkpoint dirs are never collected)."""
-    if jax.process_index() != 0 and jax.process_count() > 1:
-        pass  # orbax handles multihost; single-host master-only is implicit
     ckpt_dir = os.path.abspath(ckpt_dir)
     os.makedirs(ckpt_dir, exist_ok=True)
     path = os.path.join(ckpt_dir, f"ckpt_{step:06d}")
     ckptr = ocp.StandardCheckpointer()
     payload = {"params": state.params, "opt_state": state.opt_state,
                "step": np.asarray(state.step)}
-    ckptr.save(path, payload, force=True)
+    ckptr.save(path, payload, force=True)  # multihost-collective in orbax
     ckptr.wait_until_finished()
-    if extra:
-        import json
+    # filesystem surgery around the collective save is NOT multihost-aware
+    # in orbax — master-only, like the reference's save_on_master
+    # (utils/misc.py:432)
+    if jax.process_index() == 0:
+        if extra:
+            import json
 
-        with open(os.path.join(path, "extra.json"), "w") as f:
-            json.dump(extra, f)
-    if keep > 0:
-        import shutil
+            with open(os.path.join(path, "extra.json"), "w") as f:
+                json.dump(extra, f)
+        if keep > 0:
+            import shutil
 
-        old = sorted(glob.glob(os.path.join(ckpt_dir, "ckpt_[0-9]*")))[:-keep]
-        for p in old:
-            shutil.rmtree(p, ignore_errors=True)
+            old = sorted(glob.glob(
+                os.path.join(ckpt_dir, "ckpt_[0-9]*")))[:-keep]
+            for p in old:
+                shutil.rmtree(p, ignore_errors=True)
     return path
 
 
@@ -64,15 +67,22 @@ def save_best_checkpoint(ckpt_dir: str, step: int, state,
     os.makedirs(ckpt_dir, exist_ok=True)
     best = os.path.join(ckpt_dir, "ckpt_best")
     bk = os.path.join(ckpt_dir, "ckpt_best_bk")
-    if os.path.isdir(best):
+    # the rename/rmtree surgery must run on exactly one process (the orbax
+    # save below is multihost-collective; this isn't), and every process
+    # must wait for it before saving into the vacated path
+    if jax.process_index() == 0 and os.path.isdir(best):
         shutil.rmtree(bk, ignore_errors=True)
         os.rename(best, bk)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("brainfm_best_ckpt_rename")
     ckptr = ocp.StandardCheckpointer()
     payload = {"params": state.params, "opt_state": state.opt_state,
                "step": np.asarray(state.step)}
     ckptr.save(best, payload, force=True)
     ckptr.wait_until_finished()
-    if extra:
+    if extra and jax.process_index() == 0:
         import json
 
         with open(os.path.join(best, "extra.json"), "w") as f:
@@ -93,8 +103,11 @@ def read_extra(path: str) -> dict:
 
 
 def latest_checkpoint(ckpt_dir: str):
-    """(parity: the resume glob of scripts/train.py:176-183)"""
-    paths = sorted(glob.glob(os.path.join(ckpt_dir, "ckpt_*")))
+    """Newest STEP checkpoint (parity: the resume glob of
+    scripts/train.py:176-183). The digit pattern keeps ckpt_best /
+    ckpt_best_bk out — 'b' sorts after every digit, so a bare ckpt_* glob
+    would resume from a stale best instead of the newest step."""
+    paths = sorted(glob.glob(os.path.join(ckpt_dir, "ckpt_[0-9]*")))
     return paths[-1] if paths else None
 
 

@@ -42,7 +42,14 @@ def run_inference_cases(args, cfg, setups):
     from brainfm_tpu.infer.prepare import prepare_image
     from brainfm_tpu.utils.nifti import load_nifti, save_nifti
 
-    models = [m.split("=", 1) for m in args.models] or \
+    for m in args.models:
+        if "=" not in m:
+            raise SystemExit(
+                f"--models entry {m!r} must be <postfix>=<ckpt_path> "
+                "(e.g. joint=ckp/brainfm_pretrained.pth)")
+    if args.models and args.ckp_path:
+        print("note: --models given; ignoring --ckp_path")
+    models = [tuple(m.split("=", 1)) for m in args.models] or \
         [("default", args.ckp_path)]
     paths = sorted(glob.glob(args.input_glob))
     print(f"{len(paths)} inputs; {len(models)} models; {len(setups)} setups")
@@ -90,8 +97,9 @@ def run_inference_cases(args, cfg, setups):
 
 
 def _stem(p):
-    return p[: -len(".nii.gz")] if p.endswith(".nii.gz") else \
-        p[: -len(".nii")] if p.endswith(".nii") else os.path.splitext(p)[0]
+    from brainfm_tpu.models.evaluator import path_stem
+
+    return path_stem(p)
 
 
 def run_pair_eval(args, cfg):

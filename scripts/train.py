@@ -136,8 +136,11 @@ def main():
         scfg = SynthStatic.from_cfg(cfg)
         d0 = datasets[stream.names[0]]
         knobs = {"synth": knobs_from_cfg(cfg, scfg, "synth")}
+        # same seed/n_items/batch_items as train()'s val loop — the scores
+        # must be comparable to the checkpoint's recorded best_val_stats
         vb = make_val_set(d0.bank, scfg, tuple(cfg.tasks), ("synth",),
-                          knobs, seed=0, n_items=2)
+                          knobs, seed=0, n_items=2,
+                          batch_items=batch_items)
         import jax.numpy as jnp
 
         from brainfm_tpu.infer.api import Inferencer

@@ -142,3 +142,15 @@ def test_import_checkpoint_aligned_partial(tmp_path):
     assert head_keys
     for k in head_keys:
         np.testing.assert_array_equal(np.asarray(lf[k]), np.asarray(pf[k]))
+
+
+def test_inflation_casts_to_target_dtype():
+    # fp64 target tree + fp32 2D ckpt kernel: the inflated leaf must take
+    # the TARGET dtype like the exact-match branch, or the aligned tree is
+    # mixed-dtype and breaks structure-matched restores
+    k2 = _mk((3, 3, 2, 4), 0)
+    target = {"m": {"conv": {"kernel": np.ones((3, 3, 3, 2, 4), np.float64)}}}
+    aligned, _ = align_params(target, {"m": {"conv": {"kernel": k2}}})
+    k3 = flatten_params(aligned)["m.conv.kernel"]
+    assert k3.dtype == np.float64
+    np.testing.assert_array_equal(k3[1], k2.astype(np.float64))

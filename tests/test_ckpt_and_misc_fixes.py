@@ -1,0 +1,53 @@
+"""Round-2 code-review regressions: checkpoint resume glob, NIfTI path
+stems, and process-stable dataset reseeding. Fast tier (no device work)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+
+def test_latest_checkpoint_ignores_best_dirs(tmp_path):
+    from brainfm_tpu.train.checkpoint import latest_checkpoint, step_from_path
+
+    for d in ("ckpt_000002", "ckpt_000010", "ckpt_best", "ckpt_best_bk"):
+        os.makedirs(tmp_path / d)
+    p = latest_checkpoint(str(tmp_path))
+    # 'b' sorts after digits — a bare ckpt_* glob would return ckpt_best_bk
+    assert p.endswith("ckpt_000010")
+    assert step_from_path(p) == 10
+
+
+def test_path_stem():
+    from brainfm_tpu.models.evaluator import path_stem
+
+    assert path_stem("./preds/case1.nii.gz") == "./preds/case1"
+    assert path_stem("outs/run.v2/pred.nii.gz") == "outs/run.v2/pred"
+    assert path_stem("a/b.nii") == "a/b"
+    assert path_stem("a/b.mgz") == "a/b"
+
+
+def test_reseed_stable_across_processes():
+    """The modality roulette must draw the same stream in a resumed run —
+    i.e. the seed derivation cannot use the per-process-salted str hash."""
+    prog = (
+        "import numpy as np, zlib\n"
+        "from brainfm_tpu.synth.datasets import SynthDataset\n"
+        "import brainfm_tpu.synth.datasets as D\n"
+        "class B:\n"
+        "    pass\n"
+        "d = SynthDataset.__new__(SynthDataset)\n"
+        "d.name = 'ADHD'\n"
+        "d.reseed(3)\n"
+        "print(list(d._rng.integers(0, 1000, 4)))\n"
+    )
+    outs = []
+    for hs in ("1", "2"):
+        env = dict(os.environ, PYTHONHASHSEED=hs,
+                   PYTHONPATH="/root/repo")
+        r = subprocess.run([sys.executable, "-c", prog], env=env,
+                           capture_output=True, text=True, timeout=120)
+        assert r.returncode == 0, r.stderr
+        outs.append(r.stdout.strip().splitlines()[-1])
+    assert outs[0] == outs[1], f"reseed differs across processes: {outs}"
