@@ -32,16 +32,43 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
+def clip_per_parameter(clip: float):
+    """Per-parameter-tensor L2 clipping (parity: utils/misc.py:1329-1339 —
+    the reference clips EACH tensor to clip_max_norm independently, not
+    the global norm; with ~100 tensors the global-norm semantics would be
+    ~10x tighter on a uniformly-large gradient)."""
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+
+        def c(g):
+            n = jnp.sqrt(jnp.sum(jnp.square(g)))
+            return g * jnp.minimum(1.0, clip / (n + 1e-6))
+
+        return jax.tree.map(c, updates), state
+
+    return optax.GradientTransformation(init, update)
+
+
 def build_optimizer(cfg):
     """(parity: build_optimizer, Trainer/models/__init__.py:362-372).
-    lr/wd are injected per step via optax.inject_hyperparams."""
+    lr/wd are injected per step via optax.inject_hyperparams.
+    cfg.clip_mode: 'per_param' (default — reference clip_gradients
+    semantics) or 'global' (optax global-norm)."""
     name = (cfg.optimizer or "adamw").lower()
     clip = float(cfg.clip_max_norm or 0.0)
+    clip_mode = str(cfg.get("clip_mode") or "per_param")
 
     def make(learning_rate=1e-4, weight_decay=0.0):
         chain = []
         if clip > 0:
-            chain.append(optax.clip_by_global_norm(clip))
+            chain.append(optax.clip_by_global_norm(clip)
+                         if clip_mode == "global"
+                         else clip_per_parameter(clip))
         if name == "adam":
             chain.append(optax.adam(learning_rate))
         elif name == "adamw":

@@ -51,3 +51,20 @@ def test_reseed_stable_across_processes():
         assert r.returncode == 0, r.stderr
         outs.append(r.stdout.strip().splitlines()[-1])
     assert outs[0] == outs[1], f"reseed differs across processes: {outs}"
+
+
+def test_clip_per_parameter_semantics():
+    """Reference clip_gradients (utils/misc.py:1329-1339) clips each
+    tensor independently; a small-gradient tensor must be untouched even
+    when another tensor is huge (global-norm clipping would shrink both)."""
+    import jax.numpy as jnp
+
+    from brainfm_tpu.train.step import clip_per_parameter
+
+    tx = clip_per_parameter(1.0)
+    grads = {"big": jnp.full((4,), 100.0), "small": jnp.full((4,), 0.01)}
+    out, _ = tx.update(grads, tx.init(grads))
+    bn = float(jnp.linalg.norm(out["big"]))
+    assert abs(bn - 1.0) < 1e-4, bn
+    np.testing.assert_allclose(np.asarray(out["small"]),
+                               np.asarray(grads["small"]), rtol=1e-6)
