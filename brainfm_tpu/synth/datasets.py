@@ -236,6 +236,46 @@ class SynthDataset:
         return synth_item(key, subject, self.static, self.tasks, mode,
                           self._knobs[mode])
 
+    def get_group(self, idxs):
+        """Stacked subject pytree + one modality for a grouped batch
+        (sharded per-rank synthesis). The modality roulette draws once per
+        batch against the modalities available on ALL chosen subjects; the
+        subject leaves are stacked on a leading item axis so each mesh
+        rank synthesizes from its own subject."""
+        import jax.numpy as jnp
+
+        subjects = [self.bank.to_device(i) for i in idxs]
+        common = set(subjects[0])
+        for s in subjects[1:]:
+            common &= set(s)
+        mode = choose_modality(self._rng, self.input_prob, common)
+        processed = []
+        for s in subjects:
+            s = {k: s[k] for k in common}
+            if mode != "synth":
+                s["image"] = s[mode]
+            if self._lesions and "pathol_prob" not in s:
+                s["pathol_prob"] = jnp.asarray(
+                    self._lesions[self._rng.integers(len(self._lesions))])
+            processed.append(s)
+        stacked = {k: jnp.stack([s[k] for s in processed])
+                   for k in processed[0]}
+        return stacked, mode
+
+    def get_batch_sharded(self, mesh, idxs, keys, axes=("data",)):
+        """One train batch synthesized per-rank over the mesh: item i of
+        `keys`/`idxs` is computed entirely on its own data-rank (the TPU
+        replacement for the reference's per-rank DataLoader workers)."""
+        from .sharded import sharded_synth_batch
+
+        stacked, mode = self.get_group(idxs)
+        if mode not in self._knobs:
+            self._knobs[mode] = knobs_from_cfg(self._gen_cfg, self.static,
+                                               mode)
+        return sharded_synth_batch(mesh, keys, stacked, self.static,
+                                   self.tasks, mode, self._knobs[mode],
+                                   axes=axes, per_item_subject=True)
+
 
 class ConcatStream:
     """Probability-weighted multi-dataset mixing
@@ -266,6 +306,18 @@ class ConcatStream:
             name = self.names[d]
             target, samples = self.datasets[name].get(s, key)
             yield name, target, samples
+
+    def epoch_grouped(self, epoch_idx: int, n_batches: int,
+                      batch_items: int):
+        """Batch-grouped plan for sharded per-rank synthesis: yields
+        (dataset_name, subject_idxs) with one dataset per batch — see
+        WeightedSubjectSampler.sample_grouped for the distribution note.
+        Reproducible from (seed, epoch_idx) like `epoch`."""
+        self.sampler.set_epoch(epoch_idx)
+        for n in self.names:
+            self.datasets[n].reseed(self.seed + epoch_idx)
+        for d, idxs in self.sampler.sample_grouped(n_batches, batch_items):
+            yield self.names[d], idxs
 
 
 def build_datasets(gen_cfg, tasks, device=None) -> Dict[str, SynthDataset]:

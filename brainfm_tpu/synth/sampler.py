@@ -58,6 +58,28 @@ class WeightedSubjectSampler:
             out.append((int(d), int(idx)))
         return out
 
+    def sample_grouped(self, n_batches: int, batch_items: int):
+        """Batch-grouped draw for sharded per-rank synthesis: one dataset
+        per BATCH (weighted by dataset probs), `batch_items` independent
+        weighted subject draws within it. The per-item marginal mixing
+        distribution matches `sample`; only the within-batch grouping
+        differs (all items of one SPMD synthesis program must share the
+        dataset's static config). Returns [(dataset_idx, [subject_idx])]."""
+        rng = np.random.default_rng(
+            (self.seed, self.epoch, self.process_index, 1))
+        ds = rng.choice(len(self.sizes), size=n_batches, p=self.probs)
+        out = []
+        for d in ds:
+            w = self.subject_weights[d]
+            if w is None:
+                idxs = [int(i) for i in rng.integers(self.sizes[d],
+                                                     size=batch_items)]
+            else:
+                idxs = [int(rng.choice(self.sizes[d], p=w))
+                        for _ in range(batch_items)]
+            out.append((int(d), idxs))
+        return out
+
 
 def choose_modality(rng: np.random.Generator, input_prob: dict,
                     available: set) -> str:

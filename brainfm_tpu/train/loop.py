@@ -22,21 +22,13 @@ import jax.numpy as jnp
 
 from ..synth import SynthStatic, synth_item
 from ..synth.engine import build_knobs_stack, knobs_from_cfg
+from ..synth.sharded import sharded_synth_batch, stack_items
 from ..utils.logging import MetricLogger, setup_logging, write_log_line
 from .checkpoint import save_checkpoint
 from .schedules import build_schedules
 from .step import TrainState, build_optimizer, make_train_step
 
 
-def stack_items(targets, samples):
-    """Stack per-item (target, samples) pytrees into one train batch."""
-    tgt = jax.tree.map(lambda *xs: jnp.stack(xs)[:, None] if xs[0].ndim >= 3
-                       else jnp.stack(xs), *targets)
-    smp = jax.tree.map(lambda *xs: jnp.stack(xs), *samples)
-    # criterion wants only tensor targets the losses know about
-    tgt = {k: v for k, v in tgt.items()
-           if k != "pathology_prob" and not k.startswith("surface_")}
-    return {"targets": tgt, "samples": smp}
 
 
 def make_batch(keys, subject, scfg, tasks, input_mode, knobs):
@@ -132,7 +124,11 @@ def train(cfg, model, weight_dict, loss_fn, bank, out_dir: str,
     replicated, and every step runs under jax.sharding.set_mesh so XLA
     inserts the gradient psum and conv halo exchanges (and the UNet's
     deep-level replication guard engages). batch_items must be a
-    multiple of the 'data' axis size.
+    multiple of the 'data' axis size. Synthesis also runs per-rank
+    (synth/sharded.py): each device generates only its own batch items —
+    the TPU analog of the reference's per-rank DataLoader workers — and
+    in stream mode the dataset/modality roulette is drawn once per batch
+    (ConcatStream.epoch_grouped) so a batch is one SPMD program.
 
     Validation + best checkpoint (parity: best_val_stats carried in every
     checkpoint and the pre-save backup rename, scripts/train.py:173,196-214):
@@ -214,14 +210,25 @@ def train(cfg, model, weight_dict, loss_fn, bank, out_dir: str,
         mlog = MetricLogger()
         t_ep = time.time()
         if stream is not None:
-            item_iter = stream.epoch(epoch, itr_per_epoch * batch_items,
-                                     jax.random.fold_in(key, epoch))
+            if mesh is not None:
+                # grouped plan: one dataset per batch so the whole batch is
+                # one SPMD synthesis program, each item on its own rank
+                group_plan = list(stream.epoch_grouped(
+                    epoch, itr_per_epoch, batch_items))
+            else:
+                item_iter = stream.epoch(epoch, itr_per_epoch * batch_items,
+                                         jax.random.fold_in(key, epoch))
         else:
             sampler.set_epoch(epoch)
             subj_plan = sampler.sample(itr_per_epoch)
         for it in range(itr_per_epoch):
             gstep = epoch * itr_per_epoch + it
-            if stream is not None:
+            if stream is not None and mesh is not None:
+                name, idxs = group_plan[it]
+                key, *item_keys = jax.random.split(key, batch_items + 1)
+                batch = stream.datasets[name].get_batch_sharded(
+                    mesh, idxs, jnp.stack(item_keys))
+            elif stream is not None:
                 items = [next(item_iter) for _ in range(batch_items)]
                 batch = stack_items([t for _, t, _ in items],
                                     [s for _, _, s in items])
@@ -238,8 +245,14 @@ def train(cfg, model, weight_dict, loss_fn, bank, out_dir: str,
                         knobs[mode] = knobs_from_cfg(cfg, scfg, mode)
                 else:
                     mode = input_modes[rng_host.integers(len(input_modes))]
-                batch = make_batch(item_keys, subj, scfg, tasks, mode,
-                                   knobs[mode])
+                if mesh is not None:
+                    # per-rank synthesis: item i computed on data-rank i
+                    batch = sharded_synth_batch(
+                        mesh, jnp.stack(item_keys), subj, scfg, tasks, mode,
+                        knobs[mode])
+                else:
+                    batch = make_batch(item_keys, subj, scfg, tasks, mode,
+                                       knobs[mode])
             batch = apply_condition(batch, cfg.get("condition"))
             if shard_train_batch is not None:
                 batch = shard_train_batch(batch)

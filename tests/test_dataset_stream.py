@@ -135,3 +135,42 @@ def test_train_two_epochs_over_two_datasets(tmp_path):
     import os
 
     assert os.path.exists(os.path.join(out, "ckp", "ckpt_best"))
+
+
+def test_train_stream_on_mesh_grouped(tmp_path):
+    """Stream mode on a data-parallel mesh: the grouped plan draws one
+    dataset per batch and sharded per-rank synthesis generates each item
+    on its own rank (synth/sharded.py; reference analog: per-rank
+    DataLoader workers under DDP, scripts/train.py:154-158)."""
+    from brainfm_tpu.parallel.mesh import make_mesh
+
+    cfg = _gen_cfg()
+    cfg.n_epochs = 1
+    ds = _build_two_datasets(cfg)
+    cfg2, model = build_model(cfg)
+    _, weight_dict, loss_fn = make_criterion(cfg2)
+
+    mesh = make_mesh(data=4, space=2)
+    out = str(tmp_path / "run")
+    state = train(cfg2, model, weight_dict, loss_fn, None, out,
+                  itr_per_epoch=2, batch_items=4, seed=0, log_itr=1,
+                  val_itr=0, stream=ds["_concat"], mesh=mesh)
+    assert int(state.step) == 2
+    leaf = jax.tree.leaves(state.params)[0]
+    assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_grouped_plan_marginals_and_reproducibility():
+    """epoch_grouped keeps the per-item dataset marginal of `epoch` and is
+    reproducible from (seed, epoch)."""
+    cfg = _gen_cfg()
+    ds = _build_two_datasets(cfg)
+    stream = ds["_concat"]
+    plan = list(stream.epoch_grouped(0, 400, 2))
+    frac_adhd = np.mean([n == "ADHD" for n, _ in plan])
+    assert 0.65 < frac_adhd < 0.85  # nominal 0.75
+    assert plan == list(stream.epoch_grouped(0, 400, 2))
+    assert plan != list(stream.epoch_grouped(1, 400, 2))
+    # every batch draws subjects within one dataset only
+    for _, idxs in plan[:20]:
+        assert len(idxs) == 2
