@@ -154,7 +154,7 @@ def test_train_stream_on_mesh_grouped(tmp_path):
     out = str(tmp_path / "run")
     state = train(cfg2, model, weight_dict, loss_fn, None, out,
                   itr_per_epoch=2, batch_items=4, seed=0, log_itr=1,
-                  val_itr=0, stream=ds["_concat"], mesh=mesh)
+                  val_itr=1, n_val_items=1, stream=ds["_concat"], mesh=mesh)
     assert int(state.step) == 2
     leaf = jax.tree.leaves(state.params)[0]
     assert np.isfinite(np.asarray(leaf)).all()
