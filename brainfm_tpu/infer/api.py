@@ -27,11 +27,18 @@ class Inferencer:
     (replaces evaluate_image/evaluate_path per-call rebuilds)."""
 
     def __init__(self, cfg: AttrDict, ckpt_path: str | None = None,
-                 compute_dtype=jnp.float32, exact: bool = True):
+                 compute_dtype=jnp.float32, exact: bool = True, mesh=None):
         # precision is scoped to THIS model's traces (a global
         # jax.config.update here would leak: a later bf16 Inferencer in
         # the same process would silently run at "highest" too)
         self._precision = "highest" if exact else None
+        # optional multi-chip whole-volume mode: a jax.sharding.Mesh with
+        # a 'space' axis shards the volume depth-wise across chips (GSPMD
+        # partitions the convs with exact halo exchange; the UNet's
+        # deep-level replication guard engages under set_mesh) — whole
+        # volumes larger than one chip's HBM run without tiling, the
+        # multi-chip analog of evaluate_tiled
+        self.mesh = mesh
         self.cfg, self.model = build_model(cfg, compute_dtype=compute_dtype)
         if ckpt_path and ckpt_path.endswith((".pth", ".pt")):
             from ..models.torch_import import import_checkpoint
@@ -93,7 +100,21 @@ class Inferencer:
         x = jnp.asarray(inputs)
         if x.ndim == 3:
             x = x[None, ..., None]
-        out = self._jitted(x)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            assert "space" in self.mesh.axis_names, self.mesh.axis_names
+            x = jax.device_put(
+                x, NamedSharding(self.mesh, P(None, "space")))
+            if not getattr(self, "_params_replicated", False):
+                self.params = jax.tree.map(
+                    lambda a: jax.device_put(
+                        a, NamedSharding(self.mesh, P())), self.params)
+                self._params_replicated = True
+            with jax.sharding.set_mesh(self.mesh):
+                out = self._jitted(x)
+        else:
+            out = self._jitted(x)
         if feature_only:
             return out["feat"][-1]
         if run_postprocess:

@@ -156,3 +156,46 @@ def test_schedules():
     np.testing.assert_allclose(s[35], 1e-5, rtol=1e-5)
     c = cosine_schedule(1e-4, 1e-6, 4, 10)
     assert len(c) == 40 and c[0] == pytest.approx(1e-4)
+
+
+def test_inferencer_mesh_sharded_matches_single():
+    """Multi-chip whole-volume inference: Inferencer(mesh=) shards the
+    volume depth-wise over the mesh 'space' axis (GSPMD exact halo
+    exchange) and must match the unsharded forward — the multi-chip
+    analog of evaluate_tiled for volumes beyond one chip's HBM."""
+    from brainfm_tpu.config import AttrDict
+    from brainfm_tpu.infer.api import Inferencer
+    from brainfm_tpu.parallel.mesh import make_mesh
+
+    cfg = dict(
+        task={"T1": True, "segmentation": True},
+        generator={"left_hemis_only": False, "size": [32, 32, 32]},
+        losses={"uncertainty": None},
+        backbone="unet3d", f_maps=8, num_levels=3, num_groups=8,
+        layer_order="gcl", unit_feat=False, task_f_maps=[8],
+        label_list_segmentation_with_csf=[0, 14, 15, 16, 24, 77, 85],
+    )
+    vol = np.random.default_rng(0).random((32, 32, 32))
+
+    # fp64 so the only possible deviation is a real partitioning bug, not
+    # fp32 reduction reordering in the sharded GroupNorm stats (same
+    # protocol as tests/test_flagship_l6.py)
+    jax.config.update("jax_enable_x64", True)
+    try:
+        single = Inferencer(AttrDict.from_nested(cfg),
+                            compute_dtype=jnp.float64)
+        single.params = jax.tree.map(
+            lambda a: a.astype(jnp.float64), single.params)
+        mesh = make_mesh(data=2, space=4)
+        sharded = Inferencer(AttrDict.from_nested(cfg), mesh=mesh,
+                             compute_dtype=jnp.float64)
+        # same weights: copy the single-chip params
+        sharded.params = single.params
+
+        a = single.evaluate_image(vol, run_postprocess=False)
+        b = sharded.evaluate_image(vol, run_postprocess=False)
+        for k in ("T1", "segmentation"):
+            np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                                       rtol=1e-12, atol=1e-12, err_msg=k)
+    finally:
+        jax.config.update("jax_enable_x64", False)
