@@ -42,6 +42,11 @@ def main():
     ap.add_argument("--exact", action="store_true",
                     help="fp32 highest-precision matmuls (reference parity);"
                          " default is bf16 compute (~6x faster)")
+    ap.add_argument("--mesh", default=None, metavar="DATAxSPACE",
+                    help="multi-chip whole-volume inference: shard the"
+                         " volume depth-wise over the mesh 'space' axis"
+                         " (e.g. 1x8); volumes beyond one chip's HBM run"
+                         " untiled")
     args = ap.parse_args()
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -51,9 +56,15 @@ def main():
         os.path.join(root, "cfgs/trainer/default_val.yaml"),
         args.gen_cfg, args.train_cfg])
 
+    mesh = None
+    if args.mesh:
+        from brainfm_tpu.parallel.mesh import make_mesh
+
+        d, sp = (int(v) for v in args.mesh.lower().split("x"))
+        mesh = make_mesh(data=d, space=sp)
     inf = Inferencer(cfg, ckpt_path=args.ckp_path,
                      compute_dtype=jnp.float32 if args.exact else jnp.bfloat16,
-                     exact=args.exact)
+                     exact=args.exact, mesh=mesh)
     im, aff, crop_start, orig_shp = prepare_image(args.img_path,
                                                   list(args.win))
     os.makedirs(args.save_dir, exist_ok=True)
