@@ -20,22 +20,31 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 
-def save_checkpoint(ckpt_dir: str, step: int, state, extra: dict | None = None,
-                    keep: int = 0):
-    """Save params/opt_state/step (+ json-able extras) at `ckpt_dir/step`.
+# async save bookkeeping: orbax's StandardCheckpointer is an
+# AsyncCheckpointer — `save` returns once the device->host gather is done
+# and serializes to disk in a background thread. One checkpointer instance
+# is kept so at most one save is in flight; the post-save filesystem work
+# (extra.json, GC) is deferred until that save finalizes (orbax only
+# renames the tmp dir into place then).
+_ASYNC = {"ckptr": None, "pending": None}
 
-    `keep`: if >0, garbage-collect older step checkpoints so at most `keep`
-    ckpt_* dirs remain (the reference keeps a rolling 2: the live
-    brainfm_pretrained.pth + its _bk rename, scripts/train.py:196-198;
-    best-checkpoint dirs are never collected)."""
-    ckpt_dir = os.path.abspath(ckpt_dir)
-    os.makedirs(ckpt_dir, exist_ok=True)
-    path = os.path.join(ckpt_dir, f"ckpt_{step:06d}")
-    ckptr = ocp.StandardCheckpointer()
-    payload = {"params": state.params, "opt_state": state.opt_state,
-               "step": np.asarray(state.step)}
-    ckptr.save(path, payload, force=True)  # multihost-collective in orbax
-    ckptr.wait_until_finished()
+
+def _get_ckptr():
+    if _ASYNC["ckptr"] is None:
+        _ASYNC["ckptr"] = ocp.StandardCheckpointer()
+    return _ASYNC["ckptr"]
+
+
+def finalize_pending():
+    """Block until the in-flight async save (if any) is durable, then run
+    its deferred extra.json write + rolling GC. Call at train end (the
+    loop does) and before reading a just-saved checkpoint."""
+    pend = _ASYNC["pending"]
+    if pend is None:
+        return
+    _ASYNC["ckptr"].wait_until_finished()
+    _ASYNC["pending"] = None
+    path, extra, keep, ckpt_dir = pend
     # filesystem surgery around the collective save is NOT multihost-aware
     # in orbax — master-only, like the reference's save_on_master
     # (utils/misc.py:432)
@@ -48,10 +57,37 @@ def save_checkpoint(ckpt_dir: str, step: int, state, extra: dict | None = None,
         if keep > 0:
             import shutil
 
-            old = sorted(glob.glob(
-                os.path.join(ckpt_dir, "ckpt_[0-9]*")))[:-keep]
+            old = sorted(p for p in glob.glob(
+                os.path.join(ckpt_dir, "ckpt_[0-9]*"))
+                if "tmp" not in os.path.basename(p))[:-keep]
             for p in old:
                 shutil.rmtree(p, ignore_errors=True)
+
+
+def save_checkpoint(ckpt_dir: str, step: int, state, extra: dict | None = None,
+                    keep: int = 0, block: bool = True):
+    """Save params/opt_state/step (+ json-able extras) at `ckpt_dir/step`.
+
+    `keep`: if >0, garbage-collect older step checkpoints so at most `keep`
+    ckpt_* dirs remain (the reference keeps a rolling 2: the live
+    brainfm_pretrained.pth + its _bk rename, scripts/train.py:196-198;
+    best-checkpoint dirs are never collected).
+
+    `block=False` makes the save asynchronous: the call returns after the
+    device->host gather and disk serialization proceeds in a background
+    thread while training continues (at flagship scale a blocking save of
+    the 264M-param state stalls the step stream). The previous async save
+    is always finalized first, so at most one is in flight."""
+    finalize_pending()
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    os.makedirs(ckpt_dir, exist_ok=True)
+    path = os.path.join(ckpt_dir, f"ckpt_{step:06d}")
+    payload = {"params": state.params, "opt_state": state.opt_state,
+               "step": np.asarray(state.step)}
+    _get_ckptr().save(path, payload, force=True)  # multihost-collective
+    _ASYNC["pending"] = (path, extra, keep, ckpt_dir)
+    if block:
+        finalize_pending()
     return path
 
 
@@ -63,6 +99,7 @@ def save_best_checkpoint(ckpt_dir: str, step: int, state,
     /root/reference/scripts/train.py:196-198)."""
     import shutil
 
+    finalize_pending()
     ckpt_dir = os.path.abspath(ckpt_dir)
     os.makedirs(ckpt_dir, exist_ok=True)
     best = os.path.join(ckpt_dir, "ckpt_best")
@@ -107,7 +144,9 @@ def latest_checkpoint(ckpt_dir: str):
     scripts/train.py:176-183). The digit pattern keeps ckpt_best /
     ckpt_best_bk out — 'b' sorts after every digit, so a bare ckpt_* glob
     would resume from a stale best instead of the newest step."""
-    paths = sorted(glob.glob(os.path.join(ckpt_dir, "ckpt_[0-9]*")))
+    finalize_pending()  # an in-flight async save only exists as a tmp dir
+    paths = sorted(p for p in glob.glob(os.path.join(ckpt_dir, "ckpt_[0-9]*"))
+                   if "tmp" not in os.path.basename(p))
     return paths[-1] if paths else None
 
 

@@ -333,11 +333,17 @@ def train(cfg, model, weight_dict, loss_fn, bank, out_dir: str,
                             f"({acc['loss_total']:.4f}) -> ckp/ckpt_best")
 
         write_log_line(os.path.join(out_dir, "log.txt"), stats)
+        # async: the 264M-param flagship state serializes to disk in a
+        # background thread while the next epoch trains (finalized before
+        # the next save / at train end)
         save_checkpoint(os.path.join(out_dir, "ckp"),
                         (epoch + 1) * itr_per_epoch, state,
                         extra={"epoch": epoch,
                                "best_val_stats": best_val_stats},
-                        keep=keep_ckpt)
+                        keep=keep_ckpt, block=False)
+    from .checkpoint import finalize_pending
+
+    finalize_pending()
     if stats:
         from ..utils.logging import plot_loss
 

@@ -68,3 +68,37 @@ def test_clip_per_parameter_semantics():
     assert abs(bn - 1.0) < 1e-4, bn
     np.testing.assert_allclose(np.asarray(out["small"]),
                                np.asarray(grads["small"]), rtol=1e-6)
+
+
+def test_async_checkpoint_roundtrip(tmp_path):
+    """block=False returns before the disk write finishes; finalize_pending
+    makes it durable (extra.json + GC deferred until then) and the state
+    restores exactly. Also: latest_checkpoint never surfaces the in-flight
+    tmp dir."""
+    import jax.numpy as jnp
+
+    from brainfm_tpu.train.checkpoint import (finalize_pending,
+                                              latest_checkpoint,
+                                              load_checkpoint,
+                                              read_extra, save_checkpoint)
+    from brainfm_tpu.train.step import TrainState
+
+    state = TrainState(
+        {"params": {"w": jnp.arange(6.0).reshape(2, 3)}},
+        {"m": jnp.zeros((2, 3))}, jnp.asarray(7, jnp.int32))
+    d = str(tmp_path / "ckp")
+    for step in (1, 2, 3):
+        save_checkpoint(d, step, state, extra={"epoch": step - 1},
+                        keep=2, block=False)
+    finalize_pending()
+    # GC kept the last 2; extras written after finalize
+    names = sorted(os.listdir(d))
+    assert names == ["ckpt_000002", "ckpt_000003"], names
+    assert read_extra(os.path.join(d, "ckpt_000003")) == {"epoch": 2}
+    p = latest_checkpoint(d)
+    assert p.endswith("ckpt_000003")
+    restored = load_checkpoint(p, state)
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["params"]["w"]),
+        np.arange(6.0).reshape(2, 3))
+    assert int(restored.step) == 7
