@@ -173,29 +173,67 @@ class Inferencer:
             im = jnp.asarray(img_path_or_vol)
         return self.evaluate_image(im, feature_only=True)
 
+    def _write_outputs(self, outs, aff, out_dir, exclude_keys, ext):
+        for key, val in outs.items():
+            if key in exclude_keys or key == "feat":
+                continue
+            arr = np.asarray(val)[0]
+            arr = np.clip(arr, 0.0, None) if key not in (
+                "regx", "regy", "regz") else arr
+            viewVolume(arr.squeeze(), aff, names=[f"out_{key}"], ext=ext,
+                       save_dir=out_dir)
+
     def evaluate_path(self, input_paths, save_dir, win_size=(220, 220, 220),
-                      exclude_keys=(), ext=".nii.gz", save_input=False):
+                      exclude_keys=(), ext=".nii.gz", save_input=False,
+                      prefetch: bool = True):
         """Batch file evaluation with NIfTI dumps (parity:
-        test_utils.py:354-405)."""
+        test_utils.py:354-405).
+
+        Serving throughput: with `prefetch` (default) the pipeline is
+        double-buffered — volume n+1 decodes/resamples on a host thread
+        while the device computes volume n (dispatch is async), and the
+        device->host transfer + NIfTI writes of volume n run on a writer
+        thread while n+1 is dispatched. Identical outputs to the serial
+        path; exceptions from either stage propagate."""
+        input_paths = list(input_paths)
         results = []
-        for p in input_paths:
-            im, aff, crop_start, orig_shp = prepare_image(p, list(win_size))
-            out_dir = os.path.join(save_dir,
-                                   os.path.basename(p).split(".nii")[0])
-            os.makedirs(out_dir, exist_ok=True)
-            if save_input:
-                viewVolume(np.asarray(im), aff, names=["input"], ext=ext,
-                           save_dir=out_dir)
-            outs = self.evaluate_image(im)
-            for key, val in outs.items():
-                if key in exclude_keys or key == "feat":
-                    continue
-                arr = np.asarray(val)[0]
-                arr = np.clip(arr, 0.0, None) if key not in (
-                    "regx", "regy", "regz") else arr
-                viewVolume(arr.squeeze(), aff, names=[f"out_{key}"], ext=ext,
-                           save_dir=out_dir)
-            results.append(out_dir)
+        if not prefetch or len(input_paths) <= 1:
+            for p in input_paths:
+                im, aff, _, _ = prepare_image(p, list(win_size))
+                out_dir = os.path.join(save_dir,
+                                       os.path.basename(p).split(".nii")[0])
+                os.makedirs(out_dir, exist_ok=True)
+                if save_input:
+                    viewVolume(np.asarray(im), aff, names=["input"], ext=ext,
+                               save_dir=out_dir)
+                outs = self.evaluate_image(im)
+                self._write_outputs(outs, aff, out_dir, exclude_keys, ext)
+                results.append(out_dir)
+            return results
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            load = ex.submit(prepare_image, input_paths[0], list(win_size))
+            write = None
+            for i, p in enumerate(input_paths):
+                im, aff, _, _ = load.result()
+                if i + 1 < len(input_paths):
+                    load = ex.submit(prepare_image, input_paths[i + 1],
+                                     list(win_size))
+                out_dir = os.path.join(save_dir,
+                                       os.path.basename(p).split(".nii")[0])
+                os.makedirs(out_dir, exist_ok=True)
+                if save_input:
+                    viewVolume(np.asarray(im), aff, names=["input"],
+                               ext=ext, save_dir=out_dir)
+                outs = self.evaluate_image(im)  # async dispatch
+                if write is not None:
+                    write.result()
+                write = ex.submit(self._write_outputs, outs, aff, out_dir,
+                                  exclude_keys, ext)
+                results.append(out_dir)
+            write.result()
         return results
 
 

@@ -1,6 +1,7 @@
 """End-to-end training step, tiled inference, and multi-chip dry run on the
 8-device virtual CPU mesh."""
 
+import os
 import sys
 
 import numpy as np
@@ -156,6 +157,45 @@ def test_schedules():
     np.testing.assert_allclose(s[35], 1e-5, rtol=1e-5)
     c = cosine_schedule(1e-4, 1e-6, 4, 10)
     assert len(c) == 40 and c[0] == pytest.approx(1e-4)
+
+
+def test_evaluate_path_prefetch_matches_serial(tmp_path):
+    """evaluate_path's double-buffered prefetch pipeline (decode n+1 and
+    write n-1 on host threads while the device computes n) must produce
+    byte-identical NIfTI outputs to the serial path."""
+    from brainfm_tpu.config import AttrDict
+    from brainfm_tpu.infer.api import Inferencer
+    from brainfm_tpu.utils.nifti import load_nifti, save_nifti
+
+    cfg = dict(
+        task={"T1": True, "segmentation": True},
+        generator={"left_hemis_only": False, "size": [32, 32, 32]},
+        losses={"uncertainty": None},
+        backbone="unet3d", f_maps=8, num_levels=3, num_groups=8,
+        layer_order="gcl", unit_feat=False, task_f_maps=[8],
+        label_list_segmentation_with_csf=[0, 14, 15, 16, 24, 77, 85],
+    )
+    rng = np.random.default_rng(3)
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"vol{i}.nii.gz")
+        save_nifti(p, rng.random((24, 24, 24), dtype=np.float32), np.eye(4))
+        paths.append(p)
+
+    inf = Inferencer(AttrDict.from_nested(cfg))
+    d_ser = inf.evaluate_path(paths, str(tmp_path / "serial"),
+                              win_size=(32, 32, 32), prefetch=False)
+    d_pre = inf.evaluate_path(paths, str(tmp_path / "prefetch"),
+                              win_size=(32, 32, 32), prefetch=True)
+    assert len(d_ser) == len(d_pre) == 3
+    for a, b in zip(d_ser, d_pre):
+        fa = sorted(os.listdir(a))
+        fb = sorted(os.listdir(b))
+        assert fa == fb and fa, (fa, fb)
+        for f in fa:
+            va, _ = load_nifti(os.path.join(a, f))
+            vb, _ = load_nifti(os.path.join(b, f))
+            np.testing.assert_array_equal(va, vb, err_msg=f)
 
 
 def test_inferencer_mesh_sharded_matches_single():
