@@ -6,6 +6,7 @@ utils/misc.py:523-549)."""
 import numpy as np
 
 import jax
+import pytest
 
 from brainfm_tpu.config import AttrDict
 from brainfm_tpu.models import build_model
@@ -92,6 +93,7 @@ def test_subject_weight_hook():
     assert (counts2 > 50).all()
 
 
+@pytest.mark.slow
 def test_train_loop_on_mesh(tmp_path):
     """The real training loop on a 4x2 (data x space) mesh: batches
     sharded batch-over-data and D-over-space, state replicated, steps
@@ -137,6 +139,7 @@ def test_train_two_epochs_over_two_datasets(tmp_path):
     assert os.path.exists(os.path.join(out, "ckp", "ckpt_best"))
 
 
+@pytest.mark.slow
 def test_train_stream_on_mesh_grouped(tmp_path):
     """Stream mode on a data-parallel mesh: the grouped plan draws one
     dataset per batch and sharded per-rank synthesis generates each item
