@@ -67,7 +67,8 @@ class Inferencer:
             self.params = tree if "params" in tree else {"params": tree}
         else:
             self.params = self._init_params()
-        self._jitted = jax.jit(self._forward)
+        self._jitted = jax.jit(self._forward,
+                               static_argnames=("keep_feat",))
 
     def _init_params(self):
         # conv params are spatial-size independent: init at the smallest
@@ -86,17 +87,34 @@ class Inferencer:
             return jax.default_matmul_precision(self._precision)
         return contextlib.nullcontext()
 
-    def _forward(self, x):
-        # the context binds the precision while jit TRACES this function;
+    def _forward(self, params, x, keep_feat: bool = True):
+        # params are threaded as a jit ARGUMENT, not closed over: a
+        # closure would hand XLA the 264M-param flagship tree as graph
+        # constants, and constant folding makes the 220^3 whole-volume
+        # compile blow past 9 minutes (measured) vs ~160 s with args.
+        # The context binds the precision while jit TRACES this function;
         # the compiled executable keeps it thereafter
         with self._precision_ctx():
-            out = self.model.apply(self.params, x)
-            return apply_processors(out, self.cfg)
+            out = self.model.apply(params, x)
+            out = apply_processors(out, self.cfg)
+        if not keep_feat:
+            # dropping the decoder feature pyramid lets XLA dead-code it:
+            # at the 220^3 L6 flagship the feat list alone is ~2 GB of HBM
+            # and is what pushed the whole-volume forward over the single
+            # chip's memory — without it the 220^3 pass fits and runs in
+            # one dispatch (573 ms bf16, 3.5x the tiled walk; BASELINE.md)
+            out.pop("feat", None)
+        return out
 
     def evaluate_image(self, inputs, feature_only: bool = False,
-                       run_postprocess: bool = True):
+                       run_postprocess: bool = True, keep_feat: bool = True):
         """inputs: (B, D, H, W, 1) or (D, H, W). (parity:
-        test_utils.py:290-312)."""
+        test_utils.py:290-312).
+
+        keep_feat=False omits the decoder feature maps from the result —
+        the HBM headroom that makes whole-volume 220^3 flagship inference
+        fit a single chip (serving and bench use this)."""
+        keep_feat = keep_feat or feature_only
         x = jnp.asarray(inputs)
         if x.ndim == 3:
             x = x[None, ..., None]
@@ -112,9 +130,9 @@ class Inferencer:
                         a, NamedSharding(self.mesh, P())), self.params)
                 self._params_replicated = True
             with jax.sharding.set_mesh(self.mesh):
-                out = self._jitted(x)
+                out = self._jitted(self.params, x, keep_feat=keep_feat)
         else:
-            out = self._jitted(x)
+            out = self._jitted(self.params, x, keep_feat=keep_feat)
         if feature_only:
             return out["feat"][-1]
         if run_postprocess:
@@ -206,7 +224,7 @@ class Inferencer:
                 if save_input:
                     viewVolume(np.asarray(im), aff, names=["input"], ext=ext,
                                save_dir=out_dir)
-                outs = self.evaluate_image(im)
+                outs = self.evaluate_image(im, keep_feat=False)
                 self._write_outputs(outs, aff, out_dir, exclude_keys, ext)
                 results.append(out_dir)
             return results
@@ -227,7 +245,7 @@ class Inferencer:
                 if save_input:
                     viewVolume(np.asarray(im), aff, names=["input"],
                                ext=ext, save_dir=out_dir)
-                outs = self.evaluate_image(im)  # async dispatch
+                outs = self.evaluate_image(im, keep_feat=False)  # async dispatch
                 if write is not None:
                     write.result()
                 write = ex.submit(self._write_outputs, outs, aff, out_dir,

@@ -159,6 +159,37 @@ def test_schedules():
     assert len(c) == 40 and c[0] == pytest.approx(1e-4)
 
 
+def test_evaluate_image_keep_feat_drop():
+    """keep_feat=False must drop ONLY the decoder feature pyramid and leave
+    every other output identical — it is the HBM headroom that lets the
+    whole-volume 220^3 flagship forward fit one chip (infer/api.py,
+    bench.py primary metric)."""
+    from brainfm_tpu.config import AttrDict
+    from brainfm_tpu.infer.api import Inferencer
+
+    cfg = AttrDict.from_nested(dict(
+        task={"T1": True, "segmentation": True, "bias_field": True},
+        generator={"left_hemis_only": False, "size": [32, 32, 32]},
+        losses={"uncertainty": None},
+        backbone="unet3d", f_maps=8, num_levels=3, num_groups=8,
+        layer_order="gcl", unit_feat=False, task_f_maps=[8],
+        label_list_segmentation_with_csf=[0, 14, 15, 16, 24, 77, 85],
+    ))
+    inf = Inferencer(cfg)
+    vol = np.random.default_rng(0).random((32, 32, 32))
+    full = inf.evaluate_image(vol, run_postprocess=False)
+    slim = inf.evaluate_image(vol, run_postprocess=False, keep_feat=False)
+    assert "feat" in full and "feat" not in slim
+    assert set(slim) == set(full) - {"feat"}
+    for k in slim:
+        np.testing.assert_array_equal(np.asarray(full[k]),
+                                      np.asarray(slim[k]), err_msg=k)
+    # feature_only overrides keep_feat (it needs the pyramid)
+    f = inf.evaluate_image(vol, feature_only=True, keep_feat=False)
+    np.testing.assert_array_equal(np.asarray(f),
+                                  np.asarray(full["feat"][-1]))
+
+
 def test_evaluate_path_prefetch_matches_serial(tmp_path):
     """evaluate_path's double-buffered prefetch pipeline (decode n+1 and
     write n-1 on host threads while the device computes n) must produce
