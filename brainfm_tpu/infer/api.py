@@ -69,6 +69,7 @@ class Inferencer:
             self.params = self._init_params()
         self._jitted = jax.jit(self._forward,
                                static_argnames=("keep_feat",))
+        self._jitted_post = jax.jit(self._post)
 
     def _init_params(self):
         # conv params are spatial-size independent: init at the smallest
@@ -106,6 +107,14 @@ class Inferencer:
             out.pop("feat", None)
         return out
 
+    def _post(self, out, x):
+        # postprocess in its OWN jit, not fused into the forward: unjitted
+        # it pays the ~25 ms relay round-trip per jnp op (~25 ops), but
+        # fused into the 220^3 L6 forward graph the remote compile blows
+        # past 16 minutes (measured) vs ~300 s for the forward alone —
+        # two dispatches per served volume is the right trade
+        return postprocess(out, self.cfg, samples={"input": x})
+
     def evaluate_image(self, inputs, feature_only: bool = False,
                        run_postprocess: bool = True, keep_feat: bool = True):
         """inputs: (B, D, H, W, 1) or (D, H, W). (parity:
@@ -129,14 +138,18 @@ class Inferencer:
                     lambda a: jax.device_put(
                         a, NamedSharding(self.mesh, P())), self.params)
                 self._params_replicated = True
+        do_post = run_postprocess and not feature_only
+        if self.mesh is not None:
             with jax.sharding.set_mesh(self.mesh):
                 out = self._jitted(self.params, x, keep_feat=keep_feat)
+                if do_post:
+                    out = self._jitted_post(out, x)
         else:
             out = self._jitted(self.params, x, keep_feat=keep_feat)
+            if do_post:
+                out = self._jitted_post(out, x)
         if feature_only:
             return out["feat"][-1]
-        if run_postprocess:
-            out = postprocess(out, self.cfg, samples={"input": x})
         return out
 
     def evaluate_tiled(self, vol, stride=(80, 80, 80),

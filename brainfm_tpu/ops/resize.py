@@ -8,8 +8,11 @@ Covers the reference's three distinct resampling conventions:
   (Generator/datasets.py:337-340).
 * `myzoom` / `myzoom_anisotropic` — center-aligned linear zoom with the
   `delta=(1-f)/(2f)` offset convention (Generator/utils.py:200-257,
-  utils/misc.py:908-983,1051-1115). Expressed as one fused trilinear
-  grid sample instead of the reference's per-slice Python loops.
+  utils/misc.py:908-983,1051-1115). Center-aligned zoom is separable, so
+  it runs as three MXU matmuls (ops/separable.py) at `highest` matmul
+  precision — numerically fp32-equivalent to the trilinear gather it
+  replaced but far cheaper to compile and run on TPU (the 3-D gather at
+  220³ dominated `prepare_image`).
 * `volume_resize` — blur + anisotropic zoom + affine update
   (`torch_resize`, utils/misc.py:1117-1187) used by inference prep.
 """
@@ -87,50 +90,28 @@ def myzoom(x, factor, newsize=None):
     """Center-aligned linear zoom (parity: Generator/utils.py:200-249).
 
     x: (D,H,W) or (D,H,W,C). factor: array-like of 3 floats (static).
+
+    Separable formulation: the reference clamps coords into range (never
+    masks), which `linear_resample_matrix` reproduces per axis; `highest`
+    matmul precision keeps fp32 parity with the trilinear-gather oracle
+    (tests/test_separable_zoom.py::test_myzoom_matches_gather_oracle).
     """
+    import jax
+
+    from .separable import separable_resample
+
     factor = np.asarray(factor, np.float64)
     insize = x.shape[:3]
     if newsize is None:
         newsize = np.round(np.array(insize) * factor).astype(int)
-    vx = _zoom_axis_coords(insize[0], int(newsize[0]), factor[0])
-    vy = _zoom_axis_coords(insize[1], int(newsize[1]), factor[1])
-    vz = _zoom_axis_coords(insize[2], int(newsize[2]), factor[2])
-    ii, jj, kk = jnp.meshgrid(vx, vy, vz, indexing="ij")
-    # the reference clamps coords into range, making every sample in-bounds;
-    # shift by +eps above 0 is unnecessary since clamped coords >= 0 get the
-    # unmasked path via replicate-style corner clamping
-    return _clamped_trilinear(x, ii, jj, kk)
-
-
-def _clamped_trilinear(vol, ii, jj, kk):
-    """Trilinear without the OOB default mask — coords pre-clamped
-    (matches myzoom_torch which never masks)."""
-    squeeze = vol.ndim == 3
-    if squeeze:
-        vol = vol[..., None]
-    D, H, W, C = vol.shape
-    flat = vol.reshape(-1, C)
-    fx = jnp.floor(ii).astype(jnp.int32)
-    fy = jnp.floor(jj).astype(jnp.int32)
-    fz = jnp.floor(kk).astype(jnp.int32)
-    cx = jnp.minimum(fx + 1, D - 1)
-    cy = jnp.minimum(fy + 1, H - 1)
-    cz = jnp.minimum(fz + 1, W - 1)
-    wcx = (ii - fx)[..., None]
-    wcy = (jj - fy)[..., None]
-    wcz = (kk - fz)[..., None]
-    wfx, wfy, wfz = 1 - wcx, 1 - wcy, 1 - wcz
-
-    def g(a, b, c):
-        return jnp.take(flat, (a * H + b) * W + c, axis=0)
-
-    out = ((g(fx, fy, fz) * wfx + g(cx, fy, fz) * wcx) * wfy
-           + (g(fx, cy, fz) * wfx + g(cx, cy, fz) * wcx) * wcy) * wfz + \
-          ((g(fx, fy, cz) * wfx + g(cx, fy, cz) * wcx) * wfy
-           + (g(fx, cy, cz) * wfx + g(cx, cy, cz) * wcx) * wcy) * wcz
-    if squeeze:
-        out = out[..., 0]
-    return out
+    newsize = tuple(int(v) for v in newsize)
+    if newsize == tuple(insize) and np.allclose(factor, 1.0):
+        return x  # identity zoom (delta = 0, unit stride)
+    vx = _zoom_axis_coords(insize[0], newsize[0], factor[0])
+    vy = _zoom_axis_coords(insize[1], newsize[1], factor[1])
+    vz = _zoom_axis_coords(insize[2], newsize[2], factor[2])
+    with jax.default_matmul_precision("highest"):
+        return separable_resample(x, (vx, vy, vz))
 
 
 def myzoom_anisotropic(x, newsize, aff=None):
@@ -162,6 +143,11 @@ def volume_resize(img, aff, resolution, power_factor_at_half_width=5):
     k = np.log(power_factor_at_half_width) / np.pi
     sigmas = k * factors
     sigmas[sigmas <= k] = 0.0
+    if tuple(newsize) == img.shape[:3] and not np.any(sigmas > 0):
+        # already at the target resolution: blur sigmas are zero and the
+        # unit-factor zoom is the identity (delta=(1-f)/(2f)=0) — skip the
+        # whole resample graph (the common serving case: 1 mm inputs)
+        return img, np.asarray(aff).copy()
 
     squeeze = img.ndim == 3
     if squeeze:

@@ -72,3 +72,32 @@ def test_matmul_zoom_channels_and_grad():
     g = jax.grad(lambda f: jnp.sum(zoom_from_effective(f, effs, (12, 12, 12))
                                    ** 2))(field)
     assert np.isfinite(np.asarray(g)).all()
+
+
+@pytest.mark.parametrize("newsize", [(20, 16, 24), (8, 8, 8), (12, 12, 12)])
+def test_myzoom_matches_gather_oracle(newsize):
+    """ops.resize.myzoom (now 3 MXU matmuls at highest precision) must match
+    the trilinear-gather formulation it replaced; myzoom's convention is
+    clamp-to-[0, n_in-1] on full (not effective) extents, i.e. the oracle
+    with eff_sizes == input shape."""
+    from brainfm_tpu.ops.resize import myzoom
+
+    rng = np.random.default_rng(2)
+    field = jnp.asarray(rng.random((12, 12, 12)), jnp.float32)
+    factor = tuple(o / 12 for o in newsize)
+    a = myzoom(field, factor, newsize=newsize)
+    b = _zoom_gather_oracle(field, jnp.asarray([12.0, 12.0, 12.0]), newsize)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    if newsize == (12, 12, 12):
+        # unit factor short-circuits to the input unchanged
+        assert a is field
+
+
+def test_myzoom_channels():
+    from brainfm_tpu.ops.resize import myzoom
+
+    rng = np.random.default_rng(3)
+    field = jnp.asarray(rng.random((9, 7, 11, 2)), jnp.float32)
+    a = myzoom(field, (14 / 9, 10 / 7, 6 / 11), newsize=(14, 10, 6))
+    b = _zoom_gather_oracle(field, jnp.asarray([9.0, 7.0, 11.0]), (14, 10, 6))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
