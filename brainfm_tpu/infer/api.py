@@ -205,14 +205,25 @@ class Inferencer:
         return self.evaluate_image(im, feature_only=True)
 
     def _write_outputs(self, outs, aff, out_dir, exclude_keys, ext):
-        for key, val in outs.items():
-            if key in exclude_keys or key == "feat":
-                continue
+        from concurrent.futures import ThreadPoolExecutor
+
+        sel = {k: v for k, v in outs.items()
+               if k not in exclude_keys and k != "feat"}
+        # one batched pytree transfer (device buffers free as soon as it
+        # lands), then gz-encode files on a small pool — the per-array
+        # serial transfer+write loop was the serving wall-clock bottleneck
+        host = jax.device_get(sel)
+
+        def _write_one(item):
+            key, val = item
             arr = np.asarray(val)[0]
             arr = np.clip(arr, 0.0, None) if key not in (
                 "regx", "regy", "regz") else arr
             viewVolume(arr.squeeze(), aff, names=[f"out_{key}"], ext=ext,
                        save_dir=out_dir)
+
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            list(ex.map(_write_one, host.items()))
 
     def evaluate_path(self, input_paths, save_dir, win_size=(220, 220, 220),
                       exclude_keys=(), ext=".nii.gz", save_input=False,

@@ -103,7 +103,10 @@ def prepare_image(img_path: str, win_size=None, zero_crop_first: bool = False,
         if mx > 0:
             im = im / mx
 
-    imj, aff = volume_resize(jnp.asarray(im), aff, 1.0)
+    # volume_resize short-circuits to the (numpy) input unchanged when the
+    # volume is already at 1 mm — passing numpy avoids a pointless
+    # host->device->host round-trip for the common serving case
+    imj, aff = volume_resize(im, aff, 1.0)
     if add_bf and not is_CT and not is_label:
         imj, _ = add_bias_field(imj, seed=bf_seed)
     if spacing is not None and not is_label:
