@@ -49,7 +49,7 @@ def emit_json(vols_per_sec):
         "unit": "volumes/s (220^3 @1mm whole-volume single-dispatch "
                 "forward, joint 8-task UNet3D f64 L6 flagship bf16; "
                 "vs_baseline = ratio to torch reference L6 flagship "
-                "whole-volume on 8-thread CPU, 0.00086 vol/s — see "
+                f"whole-volume on 8-thread CPU, {baseline} vol/s — see "
                 "BASELINE.md)",
         "vs_baseline": round(vols_per_sec / baseline, 4),
     }))

@@ -139,12 +139,11 @@ class Inferencer:
                         a, NamedSharding(self.mesh, P())), self.params)
                 self._params_replicated = True
         do_post = run_postprocess and not feature_only
-        if self.mesh is not None:
-            with jax.sharding.set_mesh(self.mesh):
-                out = self._jitted(self.params, x, keep_feat=keep_feat)
-                if do_post:
-                    out = self._jitted_post(out, x)
-        else:
+        import contextlib
+
+        ctx = (jax.sharding.set_mesh(self.mesh) if self.mesh is not None
+               else contextlib.nullcontext())
+        with ctx:
             out = self._jitted(self.params, x, keep_feat=keep_feat)
             if do_post:
                 out = self._jitted_post(out, x)
@@ -204,15 +203,17 @@ class Inferencer:
             im = jnp.asarray(img_path_or_vol)
         return self.evaluate_image(im, feature_only=True)
 
-    def _write_outputs(self, outs, aff, out_dir, exclude_keys, ext):
-        from concurrent.futures import ThreadPoolExecutor
-
+    def _fetch_outputs(self, outs, exclude_keys):
+        """One batched pytree device->host transfer (device buffers free as
+        soon as it lands) — the per-array serial transfer loop was the
+        serving wall-clock bottleneck."""
         sel = {k: v for k, v in outs.items()
                if k not in exclude_keys and k != "feat"}
-        # one batched pytree transfer (device buffers free as soon as it
-        # lands), then gz-encode files on a small pool — the per-array
-        # serial transfer+write loop was the serving wall-clock bottleneck
-        host = jax.device_get(sel)
+        return jax.device_get(sel)
+
+    def _write_outputs(self, host, aff, out_dir, ext):
+        """gz-encode host arrays to NIfTI on a small thread pool."""
+        from concurrent.futures import ThreadPoolExecutor
 
         def _write_one(item):
             key, val = item
@@ -234,9 +235,14 @@ class Inferencer:
         Serving throughput: with `prefetch` (default) the pipeline is
         double-buffered — volume n+1 decodes/resamples on a host thread
         while the device computes volume n (dispatch is async), and the
-        device->host transfer + NIfTI writes of volume n run on a writer
-        thread while n+1 is dispatched. Identical outputs to the serial
-        path; exceptions from either stage propagate."""
+        NIfTI gz-encode/writes of volume n run on a writer thread while
+        n+1 computes. The device->host transfer of volume n stays on the
+        MAIN thread, before n+1 is dispatched: only one volume's output
+        set is ever device-resident (two co-resident ~70-channel 220^3
+        output sets would push the L6 flagship past single-chip HBM — the
+        same headroom keep_feat=False buys). Identical outputs to the
+        serial path; a failure in any stage (decode, forward, write)
+        raises — including a writer-thread failure racing a decode error."""
         input_paths = list(input_paths)
         results = []
         if not prefetch or len(input_paths) <= 1:
@@ -249,7 +255,8 @@ class Inferencer:
                     viewVolume(np.asarray(im), aff, names=["input"], ext=ext,
                                save_dir=out_dir)
                 outs = self.evaluate_image(im, keep_feat=False)
-                self._write_outputs(outs, aff, out_dir, exclude_keys, ext)
+                host = self._fetch_outputs(outs, exclude_keys)
+                self._write_outputs(host, aff, out_dir, ext)
                 results.append(out_dir)
             return results
 
@@ -258,24 +265,35 @@ class Inferencer:
         with ThreadPoolExecutor(max_workers=2) as ex:
             load = ex.submit(prepare_image, input_paths[0], list(win_size))
             write = None
-            for i, p in enumerate(input_paths):
-                im, aff, _, _ = load.result()
-                if i + 1 < len(input_paths):
-                    load = ex.submit(prepare_image, input_paths[i + 1],
-                                     list(win_size))
-                out_dir = os.path.join(save_dir,
-                                       os.path.basename(p).split(".nii")[0])
-                os.makedirs(out_dir, exist_ok=True)
-                if save_input:
-                    viewVolume(np.asarray(im), aff, names=["input"],
-                               ext=ext, save_dir=out_dir)
-                outs = self.evaluate_image(im, keep_feat=False)  # async dispatch
+            try:
+                for i, p in enumerate(input_paths):
+                    im, aff, _, _ = load.result()
+                    if i + 1 < len(input_paths):
+                        load = ex.submit(prepare_image, input_paths[i + 1],
+                                         list(win_size))
+                    out_dir = os.path.join(
+                        save_dir, os.path.basename(p).split(".nii")[0])
+                    os.makedirs(out_dir, exist_ok=True)
+                    if save_input:
+                        viewVolume(np.asarray(im), aff, names=["input"],
+                                   ext=ext, save_dir=out_dir)
+                    outs = self.evaluate_image(im, keep_feat=False)  # async
+                    # blocks until compute(n)+transfer done; write(n-1)
+                    # overlaps on the writer thread, decode(n+1) on the
+                    # loader thread
+                    host = self._fetch_outputs(outs, exclude_keys)
+                    if write is not None:
+                        write.result()
+                    write = ex.submit(self._write_outputs, host, aff,
+                                      out_dir, ext)
+                    results.append(out_dir)
+            finally:
+                # always surface the pending write's outcome — without this
+                # a writer failure is silently discarded when a later
+                # decode/forward raises first (the write error chains as
+                # __context__ if both fail)
                 if write is not None:
                     write.result()
-                write = ex.submit(self._write_outputs, outs, aff, out_dir,
-                                  exclude_keys, ext)
-                results.append(out_dir)
-            write.result()
         return results
 
 

@@ -106,7 +106,9 @@ def myzoom(x, factor, newsize=None):
         newsize = np.round(np.array(insize) * factor).astype(int)
     newsize = tuple(int(v) for v in newsize)
     if newsize == tuple(insize) and np.allclose(factor, 1.0):
-        return x  # identity zoom (delta = 0, unit stride)
+        # identity zoom (delta = 0, unit stride); asarray so a numpy input
+        # is never returned aliased-and-mutable
+        return jnp.asarray(x)
     vx = _zoom_axis_coords(insize[0], newsize[0], factor[0])
     vy = _zoom_axis_coords(insize[1], newsize[1], factor[1])
     vz = _zoom_axis_coords(insize[2], newsize[2], factor[2])
@@ -147,7 +149,7 @@ def volume_resize(img, aff, resolution, power_factor_at_half_width=5):
         # already at the target resolution: blur sigmas are zero and the
         # unit-factor zoom is the identity (delta=(1-f)/(2f)=0) — skip the
         # whole resample graph (the common serving case: 1 mm inputs)
-        return img, np.asarray(aff).copy()
+        return jnp.asarray(img), np.asarray(aff).copy()
 
     squeeze = img.ndim == 3
     if squeeze:

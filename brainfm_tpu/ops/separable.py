@@ -58,20 +58,24 @@ def gaussian_matrix(sigma, n: int, truncate: float = 3.0):
 
 
 def apply_axis_matrix(x, W, axis: int):
-    """Contract axis `axis` of x with (n_out, n_in) W on the MXU."""
+    """Contract axis `axis` of x with (n_out, n_in) W on the MXU.
+    Accumulates at promote(input, fp32): bf16 inputs get fp32 accumulation,
+    and f64 inputs (x64 parity tests) are NOT silently downcast."""
     x = jnp.moveaxis(x, axis, -1)
-    out = jnp.einsum("...i,oi->...o", x, W,
-                     preferred_element_type=jnp.float32)
+    acc = jnp.promote_types(x.dtype, jnp.float32)
+    out = jnp.einsum("...i,oi->...o", x, W, preferred_element_type=acc)
     return jnp.moveaxis(out, -1, axis)
 
 
 def separable_resample(x, coords_per_axis):
     """Resample (D,H,W[,C]) at per-axis coordinate vectors via 3 matmuls —
-    the MXU path for all zoom/restore ops."""
+    the MXU path for all zoom/restore ops. Preserves a floating input's
+    dtype (like the gather path it replaced); accumulation runs at fp32+."""
+    orig = x.dtype
     for ax, coords in enumerate(coords_per_axis):
         W = linear_resample_matrix(coords, x.shape[ax])
         x = apply_axis_matrix(x, W, ax)
-    return x
+    return x.astype(orig) if jnp.issubdtype(orig, jnp.floating) else x
 
 
 def separable_blur_matmul(x, sigmas, truncate: float = 3.0):

@@ -216,20 +216,27 @@ class SynthDataset:
         self._rng = np.random.default_rng(
             (zlib.crc32(self.name.encode()), seed))
 
-    def get(self, idx: int, key):
-        """One training item for subject idx: (target, samples[S,...])."""
-        subject = self.bank.to_device(idx)
-        available = set(subject.keys())
-        mode = choose_modality(self._rng, self.input_prob, available)
+    def _prep_subject(self, subject, mode):
+        """Shared per-subject preparation for the serial (`get`) and
+        grouped (`get_group`) streams: alias the drawn real modality into
+        'image' and inject a lesion map from the dataset's pool. ONE
+        rng draw per subject either way — keeping this in a single helper
+        is what keeps the sharded stream bit-aligned with the serial one."""
+        subject = dict(subject)
         if mode != "synth":
-            subject = dict(subject)
             subject["image"] = subject[mode]
         if self._lesions and "pathol_prob" not in subject:
             import jax.numpy as jnp
 
-            subject = dict(subject)
             subject["pathol_prob"] = jnp.asarray(
                 self._lesions[self._rng.integers(len(self._lesions))])
+        return subject
+
+    def get(self, idx: int, key):
+        """One training item for subject idx: (target, samples[S,...])."""
+        subject = self.bank.to_device(idx)
+        mode = choose_modality(self._rng, self.input_prob, set(subject))
+        subject = self._prep_subject(subject, mode)
         if mode not in self._knobs:
             self._knobs[mode] = knobs_from_cfg(self._gen_cfg, self.static,
                                                mode)
@@ -249,15 +256,8 @@ class SynthDataset:
         for s in subjects[1:]:
             common &= set(s)
         mode = choose_modality(self._rng, self.input_prob, common)
-        processed = []
-        for s in subjects:
-            s = {k: s[k] for k in common}
-            if mode != "synth":
-                s["image"] = s[mode]
-            if self._lesions and "pathol_prob" not in s:
-                s["pathol_prob"] = jnp.asarray(
-                    self._lesions[self._rng.integers(len(self._lesions))])
-            processed.append(s)
+        processed = [self._prep_subject({k: s[k] for k in common}, mode)
+                     for s in subjects]
         stacked = {k: jnp.stack([s[k] for s in processed])
                    for k in processed[0]}
         return stacked, mode

@@ -36,32 +36,37 @@ def _get_ckptr():
 
 
 def finalize_pending():
-    """Block until the in-flight async save (if any) is durable, then run
-    its deferred extra.json write + rolling GC. Call at train end (the
-    loop does) and before reading a just-saved checkpoint."""
+    """Block until the in-flight async save (if any) is durable, then move
+    its sidecar extra.json into the checkpoint dir and run the rolling GC.
+    Call at train end (the loop does) and before reading a just-saved
+    checkpoint."""
     pend = _ASYNC["pending"]
     if pend is None:
         return
     _ASYNC["ckptr"].wait_until_finished()
     _ASYNC["pending"] = None
-    path, extra, keep, ckpt_dir = pend
+    path, keep, ckpt_dir = pend
     # filesystem surgery around the collective save is NOT multihost-aware
     # in orbax — master-only, like the reference's save_on_master
     # (utils/misc.py:432)
     if jax.process_index() == 0:
-        if extra:
-            import json
-
-            with open(os.path.join(path, "extra.json"), "w") as f:
-                json.dump(extra, f)
+        # the extras were written DURABLY as a sidecar at save time (the
+        # orbax dir only appears when its background rename lands — a crash
+        # mid-epoch must not lose best_val_stats); canonicalize in-dir now
+        side = path + ".extra.json"
+        if os.path.isfile(side) and os.path.isdir(path):
+            os.replace(side, os.path.join(path, "extra.json"))
         if keep > 0:
             import shutil
 
             old = sorted(p for p in glob.glob(
                 os.path.join(ckpt_dir, "ckpt_[0-9]*"))
-                if "tmp" not in os.path.basename(p))[:-keep]
+                if "tmp" not in os.path.basename(p)
+                and os.path.isdir(p))[:-keep]
             for p in old:
                 shutil.rmtree(p, ignore_errors=True)
+                if os.path.isfile(p + ".extra.json"):
+                    os.remove(p + ".extra.json")
 
 
 def save_checkpoint(ckpt_dir: str, step: int, state, extra: dict | None = None,
@@ -85,7 +90,15 @@ def save_checkpoint(ckpt_dir: str, step: int, state, extra: dict | None = None,
     payload = {"params": state.params, "opt_state": state.opt_state,
                "step": np.asarray(state.step)}
     _get_ckptr().save(path, payload, force=True)  # multihost-collective
-    _ASYNC["pending"] = (path, extra, keep, ckpt_dir)
+    if extra and jax.process_index() == 0:
+        # sidecar write NOW, not at finalize: the json is tiny and host-
+        # side, and deferring it a full epoch means a crash loses the
+        # epoch/best_val_stats of an otherwise-durable checkpoint
+        import json
+
+        with open(path + ".extra.json", "w") as f:
+            json.dump(extra, f)
+    _ASYNC["pending"] = (path, keep, ckpt_dir)
     if block:
         finalize_pending()
     return path
@@ -129,13 +142,16 @@ def save_best_checkpoint(ckpt_dir: str, step: int, state,
 
 def read_extra(path: str) -> dict:
     """Read the json extras (epoch, best_val_stats, ...) saved next to a
-    checkpoint; {} if absent."""
+    checkpoint; {} if absent. Checks the canonical in-dir extra.json first,
+    then the save-time sidecar (present when a run died before the async
+    save's finalize)."""
     import json
 
-    p = os.path.join(os.path.abspath(path), "extra.json")
-    if os.path.isfile(p):
-        with open(p) as f:
-            return json.load(f)
+    path = os.path.abspath(path)
+    for p in (os.path.join(path, "extra.json"), path + ".extra.json"):
+        if os.path.isfile(p):
+            with open(p) as f:
+                return json.load(f)
     return {}
 
 
@@ -146,7 +162,7 @@ def latest_checkpoint(ckpt_dir: str):
     would resume from a stale best instead of the newest step."""
     finalize_pending()  # an in-flight async save only exists as a tmp dir
     paths = sorted(p for p in glob.glob(os.path.join(ckpt_dir, "ckpt_[0-9]*"))
-                   if "tmp" not in os.path.basename(p))
+                   if "tmp" not in os.path.basename(p) and os.path.isdir(p))
     return paths[-1] if paths else None
 
 

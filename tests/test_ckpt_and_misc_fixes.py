@@ -102,3 +102,34 @@ def test_async_checkpoint_roundtrip(tmp_path):
         np.asarray(restored.params["params"]["w"]),
         np.arange(6.0).reshape(2, 3))
     assert int(restored.step) == 7
+
+
+def test_extras_survive_crash_before_finalize(tmp_path):
+    """An async save's extras must be durable from the moment save_checkpoint
+    returns: if the run dies mid-next-epoch (before the deferred finalize),
+    resume must still see epoch/best_val_stats — otherwise the next
+    validation clobbers ckpt_best with a potentially worse model. The
+    sidecar <path>.extra.json is written synchronously at save time;
+    read_extra falls back to it, and latest_checkpoint never mistakes the
+    sidecar FILE for a checkpoint dir."""
+    import jax.numpy as jnp
+
+    from brainfm_tpu.train import checkpoint as C
+    from brainfm_tpu.train.step import TrainState
+
+    state = TrainState({"params": {"w": jnp.ones((2,))}},
+                       {"m": jnp.zeros((2,))}, jnp.asarray(1, jnp.int32))
+    d = str(tmp_path / "ckp")
+    extra = {"epoch": 4, "best_val_stats": {"loss_total": 0.5}}
+    path = C.save_checkpoint(d, 5, state, extra=extra, keep=2, block=False)
+    # sidecar is on disk immediately (the orbax dir may still be a tmp)
+    assert os.path.isfile(path + ".extra.json")
+    # simulate the process dying before finalize: let the background orbax
+    # write land (a crash after the rename is the interesting case), then
+    # drop the pending finalize exactly as a dead process would
+    C._ASYNC["ckptr"].wait_until_finished()
+    C._ASYNC["pending"] = None
+    assert not os.path.isfile(os.path.join(path, "extra.json"))
+    assert C.read_extra(path) == extra
+    p = C.latest_checkpoint(d)
+    assert p is not None and p.endswith("ckpt_000005") and os.path.isdir(p)

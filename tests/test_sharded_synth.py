@@ -65,7 +65,7 @@ def test_sharded_matches_serial(bank, cfg, mode):
     # the data-parallel train step
     sh = batch["samples"]["input"].sharding
     spec = sh.spec if hasattr(sh, "spec") else None
-    assert spec is not None and spec[0] == ("data",) or spec[0] == "data", spec
+    assert spec is not None and spec[0] in (("data",), "data"), spec
 
 
 def test_sharded_per_item_subjects(bank, cfg):
