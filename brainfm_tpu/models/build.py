@@ -135,13 +135,16 @@ def build_backbone(cfg, name: str | None = None, compute_dtype=jnp.float32):
     """(parity: Trainer/models/backbone.py:9-27; num_cond extra channels are
     handled by the caller concatenating inputs — flax convs infer input width).
     cfg.remat rematerializes blocks in the backward pass — required to fit
-    the 160^3 f64 training step in 16 GB HBM."""
+    the 160^3 f64 training step in 16 GB HBM. Modes: True/'full' recomputes
+    whole blocks; 'save_convs' keeps conv outputs and recomputes only the
+    HBM-bound norm/activation chain (unet3d._remat_block)."""
     name = name or cfg.backbone
+    remat = cfg.get("remat") if hasattr(cfg, "get") else False
     kw = dict(f_maps=int(cfg.f_maps or 64), num_levels=int(cfg.num_levels or 5),
               layer_order=cfg.layer_order or "gcl",
               num_groups=int(cfg.num_groups or 8),
               is_unit_vector=bool(cfg.unit_feat),
-              remat=bool(cfg.get("remat") if hasattr(cfg, "get") else False),
+              remat=remat if isinstance(remat, str) else bool(remat),
               compute_dtype=compute_dtype)
     if name == "unet3d":
         return UNet3D(**kw)

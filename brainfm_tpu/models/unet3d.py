@@ -20,6 +20,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+from jax import ad_checkpoint as _adc
 from flax import linen as nn
 
 
@@ -58,6 +59,8 @@ class SingleConv(nn.Module):
                 x = nn.Conv(self.out_channels, (self.kernel_size,) * ndim,
                             padding="SAME", use_bias=bias, name="conv",
                             dtype=self.compute_dtype, param_dtype=jnp.float32)(x)
+                # named for the 'save_convs' remat policy (see _remat_block)
+                x = _adc.checkpoint_name(x, "conv_out")
             elif ch == "g":
                 groups = _num_groups(x.shape[-1], self.num_groups)
                 x = nn.GroupNorm(num_groups=groups, epsilon=1e-5, name="groupnorm",
@@ -103,6 +106,26 @@ class DoubleConv(nn.Module):
                        self.kernel_size, self.compute_dtype, self.is_3d,
                        name="SingleConv2")(x)
         return x
+
+
+def _remat_block(remat):
+    """DoubleConv with the configured rematerialization mode.
+
+    remat=False: save everything (fastest backward, most memory).
+    remat=True/'full': recompute the whole block in the backward pass —
+    O(levels) activation memory but re-runs the convs, the MXU-bound ops
+    that dominate step FLOPs.
+    remat='save_convs': keep only the named conv outputs and recompute the
+    HBM-bound GroupNorm/activation chain — the TPU-native middle ground
+    (convs are compute-bound and expensive to redo; normalization and
+    leaky-relu recompute at memory speed)."""
+    if not remat:
+        return DoubleConv
+    if remat == "save_convs":
+        return nn.remat(DoubleConv,
+                        policy=jax.checkpoint_policies.save_only_these_names(
+                            "conv_out"))
+    return nn.remat(DoubleConv)
 
 
 def _max_pool(x, window: int, is_3d: bool):
@@ -173,11 +196,11 @@ class _EncoderStack(nn.Module):
     pool_kernel: int
     compute_dtype: jnp.dtype
     is_3d: bool = True
-    remat: bool = False
+    remat: bool | str = False
 
     @nn.compact
     def __call__(self, x):
-        block = nn.remat(DoubleConv) if self.remat else DoubleConv
+        block = _remat_block(self.remat)
         feats = []
         for i, out_ch in enumerate(self.f_maps):
             if i > 0:
@@ -198,11 +221,11 @@ class _DecoderStack(nn.Module):
     compute_dtype: jnp.dtype
     is_3d: bool = True
     prefix: str = "decoder"
-    remat: bool = False
+    remat: bool | str = False
 
     @nn.compact
     def __call__(self, x, skips):
-        block = nn.remat(DoubleConv) if self.remat else DoubleConv
+        block = _remat_block(self.remat)
         outs = []
         rev = list(reversed(self.f_maps))
         for i, out_ch in enumerate(rev[1:]):
@@ -228,7 +251,7 @@ class UNet3D(nn.Module):
     is_unit_vector: bool = False
     compute_dtype: jnp.dtype = jnp.float32
     is_3d: bool = True
-    remat: bool = False  # rematerialize blocks: O(levels) backward memory
+    remat: bool | str = False  # False | True/'full' | 'save_convs' (see _remat_block)
 
     def setup(self):
         fm = feature_maps(self.f_maps, self.num_levels)
@@ -267,7 +290,7 @@ class UNet3DSep(nn.Module):
     num_groups: int = 8
     is_unit_vector: bool = False
     compute_dtype: jnp.dtype = jnp.float32
-    remat: bool = False
+    remat: bool | str = False
 
     def setup(self):
         fm = feature_maps(self.f_maps, self.num_levels)

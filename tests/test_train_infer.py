@@ -270,3 +270,61 @@ def test_inferencer_mesh_sharded_matches_single():
                                        rtol=1e-12, atol=1e-12, err_msg=k)
     finally:
         jax.config.update("jax_enable_x64", False)
+
+
+def test_remat_modes_identical_grads():
+    """remat=False / True / 'save_convs' are pure memory-schedule choices:
+    loss and gradients must agree to fusion/reassociation noise (the
+    recomputed subgraph schedules differently; measured max 2e-7 abs). 'save_convs' is the TPU-native
+    policy: conv outputs (MXU-bound) are saved, the GroupNorm/LeakyReLU
+    chain (HBM-bound) recomputes in the backward pass."""
+    from brainfm_tpu.config import AttrDict
+    from brainfm_tpu.models import build_model
+    from brainfm_tpu.models.criterion import make_criterion
+    from brainfm_tpu.models.build import apply_processors
+    from brainfm_tpu.models.criterion import weighted_total
+
+    size = (16, 16, 16)
+    base = {
+        "task": {"T1": True, "segmentation": True},
+        "generator": {"left_hemis_only": False, "size": list(size)},
+        "losses": {"uncertainty": None},
+        "weights": {"seg_ce": 1.0, "seg_dice": 1.0, "image": 1.0},
+        "backbone": "unet3d", "f_maps": 8, "num_levels": 3, "num_groups": 4,
+        "layer_order": "gcl", "unit_feat": False, "task_f_maps": [8],
+        "max_surf_distance": 3.0,
+        "label_list_segmentation_with_csf": [0, 14, 15],
+    }
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((1, *size, 1)), jnp.float32)
+
+    results = []
+    for mode in (False, True, "save_convs"):
+        cfg, model = build_model(
+            AttrDict.from_nested({**base, "remat": mode}))
+        _, wd, loss_fn = make_criterion(cfg)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+        targets = {
+            "T1": jnp.asarray(rng.random((1, *size, 1)), jnp.float32)
+            if not results else results[0][2]["T1"],
+            "segmentation": jax.nn.one_hot(
+                jnp.zeros((1, *size), jnp.int32), cfg.n_labels)
+            if not results else results[0][2]["segmentation"],
+        }
+
+        def loss_of(p):
+            out = apply_processors(model.apply(p, x), cfg)
+            losses = loss_fn(out, targets,
+                             {"input": x, "bias_field_log": jnp.zeros_like(x)})
+            return weighted_total({k: jnp.mean(v) for k, v in losses.items()},
+                                  wd)
+
+        loss, grads = jax.jit(jax.value_and_grad(loss_of))(params)
+        results.append((float(loss), grads, targets))
+
+    l0, g0, _ = results[0]
+    for lm, gm, _ in results[1:]:
+        np.testing.assert_allclose(lm, l0, rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(gm)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
