@@ -61,7 +61,31 @@ def log_ts(msg):
     sys.stderr.flush()
 
 
+def _backend_reachable(timeout_s: float = 180.0) -> bool:
+    """Probe the live backend in a disposable subprocess. When the TPU
+    relay tunnel is down, jax.devices() blocks INDEFINITELY (observed for
+    hours, 2026-08-17) — better to fail the bench fast with a clear
+    message than hang the driver."""
+    import subprocess
+
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        return True
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
+            capture_output=True, text=True, timeout=timeout_s,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        return out.returncode == 0
+    except Exception:
+        return False
+
+
 def main():
+    if not _backend_reachable():
+        print("# FATAL: TPU backend unreachable (relay down?) — "
+              "aborting instead of hanging", file=sys.stderr)
+        sys.stderr.flush()
+        os._exit(2)
     from brainfm_tpu.config import AttrDict
     from brainfm_tpu.infer.api import Inferencer
     from brainfm_tpu.synth import SynthStatic, synth_item
