@@ -43,7 +43,9 @@ def deform_surfaces(surfs: dict, A, c2, Fneg, flip: bool, size):
     """All four meshes + flip handling (parity: utils.py:512-534)."""
     out = {}
     for k in ("Vlw", "Vrw", "Vlp", "Vrp"):
-        out[k] = np.asarray(deform_surface_vertices(surfs[k], A, c2, Fneg))
+        # np.array (copy), not asarray: a jax.Array exports read-only
+        # memory and the flip branch below mutates in place
+        out[k] = np.array(deform_surface_vertices(surfs[k], A, c2, Fneg))
     for k in ("Flw", "Frw", "Flp", "Frp"):
         out[k] = np.asarray(surfs[k])
     if flip:

@@ -182,3 +182,66 @@ def test_separable_blur_matches_conv(rng):
     got = separable_blur_matmul(x, sig)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4,
                                atol=1e-5)
+
+
+def test_twostage_inferencer(rng):
+    """TwoStageInferencer end-to-end (parity: evaluate_image_twostage,
+    utils/test_utils.py:316-350): stage-0 pathology mask in [0,1], stage-1
+    task outputs, postprocessed label map; feature_only returns both
+    decoder pyramids."""
+    from brainfm_tpu.infer.api import TwoStageInferencer
+
+    cfg = _cfg(backbone="unet3d+unet3d")
+    inf = TwoStageInferencer(cfg)
+    vol = rng.random((16, 16, 16)).astype(np.float32)
+    out = inf.evaluate_image(vol)
+    assert out["pathology"].shape == (1, 16, 16, 16, 1)
+    assert float(out["pathology"].min()) >= 0.0
+    assert float(out["pathology"].max()) <= 1.0
+    assert "label" in out  # postprocess ran (argmax -> FS ids)
+    fp, ft = inf.evaluate_image(vol, feature_only=True)
+    assert fp.shape[:4] == (1, 16, 16, 16) and ft.shape[:4] == (1, 16, 16, 16)
+
+
+def test_deform_surfaces_vertex_math(rng):
+    """deform_surfaces (parity: read_and_deform_surface,
+    Generator/utils.py:479-534): inverse-affine + negative-SVF vertex
+    push, and the sagittal-flip remap with left/right swaps."""
+    from brainfm_tpu.synth.surface import deform_surfaces
+
+    size = (16, 16, 16)
+    c2 = np.array([7.5, 7.5, 7.5], np.float32)
+    V = rng.random((20, 3)).astype(np.float32) * 10 + 2.5
+    surfs = {}
+    for k in ("Vlw", "Vrw", "Vlp", "Vrp"):
+        surfs[k] = V.copy()
+    for i, k in enumerate(("Flw", "Frw", "Flp", "Frp")):
+        surfs[k] = np.full((4, 3), i, np.int32)
+
+    # identity affine + zero SVF = identity on vertices
+    A = np.eye(3, dtype=np.float32)
+    F0 = np.zeros((*size, 3), np.float32)
+    out = deform_surfaces(surfs, A, c2, F0, flip=False, size=size)
+    np.testing.assert_allclose(out["Vlw"], V, atol=1e-5)
+
+    # scale-2 affine + constant displacement d: expect (V-c2)/2 + d + c2
+    A2 = 2.0 * np.eye(3, dtype=np.float32)
+    d = np.array([0.5, -0.25, 1.0], np.float32)
+    Fd = np.broadcast_to(d, (*size, 3)).astype(np.float32).copy()
+    out2 = deform_surfaces(surfs, A2, c2, Fd, flip=False, size=size)
+    exp = (V - c2) / 2.0 + d + c2
+    # vertices whose pulled coordinate stays strictly inside the SVF grid
+    # (trilinear3d masks outside the strict (0, n-1) bound)
+    pulled = (V - c2) / 2.0 + c2
+    inside = np.all((pulled > 0) & (pulled < np.array(size) - 1), axis=1)
+    assert inside.sum() >= 10
+    np.testing.assert_allclose(out2["Vlw"][inside], exp[inside], atol=1e-4)
+
+    # flip: x -> size[0]-1-x, left/right vertex AND face swaps
+    outf = deform_surfaces(surfs, A, c2, F0, flip=True, size=size)
+    np.testing.assert_allclose(outf["Vlw"][:, 0], size[0] - 1 - V[:, 0],
+                               atol=1e-5)
+    np.testing.assert_allclose(outf["Vlw"][:, 1:], V[:, 1:], atol=1e-5)
+    assert (outf["Flw"] == surfs["Frw"]).all()
+    assert (outf["Frw"] == surfs["Flw"]).all()
+    assert (outf["Flp"] == surfs["Frp"]).all()
