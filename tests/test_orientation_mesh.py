@@ -90,3 +90,31 @@ def test_load_surfaces_mat_roundtrip(tmp_path):
     out = load_surfaces_mat(p)
     for k, v in data.items():
         np.testing.assert_array_equal(out[k], v)
+
+
+def test_profiling_helpers(tmp_path):
+    """trace/annotate produce a profile dir; device_memory_stats and
+    StepTimer return sane values (utils/profiling.py — SURVEY §5 tracing)."""
+    import os
+
+    import jax.numpy as jnp
+
+    from brainfm_tpu.utils.profiling import (StepTimer, annotate,
+                                             device_memory_stats, trace)
+
+    d = str(tmp_path / "prof")
+    with trace(d):
+        with annotate("unit"):
+            y = jnp.ones((64, 64)) @ jnp.ones((64, 64))
+            jax.block_until_ready(y)
+    assert os.path.isdir(d) and os.listdir(d)
+
+    stats = device_memory_stats()
+    assert set(stats) == {"bytes_in_use", "peak_bytes_in_use", "bytes_limit"}
+
+    t = StepTimer(warmup=1)
+    for _ in range(3):
+        t.start()
+        dt = t.stop(jnp.ones(8) + 1)
+        assert dt >= 0
+    assert len(t.times) == 2 and t.mean >= 0
