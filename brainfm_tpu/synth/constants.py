@@ -43,8 +43,17 @@ def build_lut(label_list, size: int = 10000) -> np.ndarray:
 
 def build_vflip(n_labels: int, n_neutral: int = N_NEUTRAL) -> np.ndarray:
     """Left-right one-hot channel permutation under sagittal flip
-    (parity: Generator/datasets.py:180-183)."""
+    (parity: Generator/datasets.py:180-183).
+
+    A left-hemisphere-only list has no lateral pairs (n_labels <=
+    n_neutral): the permutation is the identity of length n_labels —
+    matching the reference, where flip is forced OFF in left mode
+    (datasets.py:483) and its vflip is "useless for left_hemis_only"
+    (:179); the naive formula would emit a length-n_neutral table and
+    desync the one-hot width from the model head's n_labels."""
     nlat = (n_labels - n_neutral) // 2
+    if nlat <= 0:
+        return np.arange(n_labels, dtype=np.int32)
     return np.concatenate([
         np.arange(n_neutral),
         np.arange(n_neutral + nlat, n_labels),

@@ -51,6 +51,21 @@ def _deform(vol, grid, mode="linear", default=0.0, cfg=None, approx=False):
 
 
 
+def _hemis_mask_src(subject, cfg, lut):
+    """Source-space left-hemisphere mask (parity: get_left_hemis_mask,
+    datasets.py:251-262): compact segmentation > 0 AND MNI x-coordinate
+    < 0. Computed ONCE per item and applied in SOURCE space before
+    warping — exactly where the reference masks the source crop
+    (read_and_deform, utils.py:310-311 and generate_sample
+    datasets.py:367-368)."""
+    if not cfg.left_hemis_only or "seg" not in subject \
+            or "reg" not in subject:
+        return None
+    s = lut_apply(lut, jnp.clip(subject["seg"].astype(jnp.int32),
+                                0, lut.shape[0] - 1))
+    return ((s > 0) & (subject["reg"][..., 0] < 0)).astype(jnp.int32)
+
+
 def _target_segmentation(seg, grid, flip, lut, vflip, cfg, hemis_mask=None,
                          deform_one_hots=False):
     """(parity: read_and_deform_segmentation, utils.py:394-424)
@@ -109,7 +124,8 @@ def _target_pathology(key, subject, grid, setup, cfg):
     return p[..., None], pdef[..., None]
 
 
-def make_targets(key, subject, grid, setup, sfd, cfg, tasks, extra=None):
+def make_targets(key, subject, grid, setup, sfd, cfg, tasks, extra=None,
+                 hemis_mask=None):
     """Deform every requested target (parity: datasets.py:716-724 loop).
 
     TPU design: all trilinear targets are stacked channel-wise into ONE
@@ -124,11 +140,8 @@ def make_targets(key, subject, grid, setup, sfd, cfg, tasks, extra=None):
     lut = jnp.asarray(build_lut(labels))
     vflip = jnp.asarray(build_vflip(len(labels)))
 
-    hemis_mask = None
-    if left and "seg" in subject and "reg" in subject:
-        s = lut_apply(lut, jnp.clip(subject["seg"].astype(jnp.int32),
-                                    0, lut.shape[0] - 1))
-        hemis_mask = ((s > 0) & (subject["reg"][..., 0] < 0)).astype(jnp.int32)
+    if hemis_mask is None:
+        hemis_mask = _hemis_mask_src(subject, cfg, lut)
 
     def hmask(v):
         return jnp.where(hemis_mask == 0, 0.0, v) if hemis_mask is not None \
@@ -143,25 +156,33 @@ def make_targets(key, subject, grid, setup, sfd, cfg, tasks, extra=None):
         stack.append(vol)
         defaults.append(default)
 
+    # the reference masks EVERY target's source crop, including defacing
+    # masks, distance and registration (read_and_deform mask arg,
+    # utils.py:310-311; the max default is taken AFTER masking :313-315)
     for t in ("T1", "T2", "FLAIR"):
         if t in tasks and t in subject:
             push(t, hmask(jnp.nan_to_num(subject[t])), 0.0)
             dm = subject.get(f"{t}_DM")
             if dm is not None:
-                push(f"{t}_DM", jnp.nan_to_num(dm), 0.0)
+                push(f"{t}_DM", hmask(jnp.nan_to_num(dm)), 0.0)
     if "CT" in tasks and "CT" in subject:
         push("CT", hmask(jnp.nan_to_num(subject["CT"]) / 1000.0), 0.0)
+        dm = subject.get("CT_DM")
+        if dm is not None:  # parity: read_and_deform_CT, utils.py:353-358
+            push("CT_DM", hmask(jnp.nan_to_num(dm)), 0.0)
     if "distance" in tasks and "dist" in subject:
         first = len(stack)
         for c in range(n_dist):
-            v = (jnp.nan_to_num(subject["dist"][..., c]) - 128.0) / 20.0
+            v = hmask((jnp.nan_to_num(subject["dist"][..., c]) - 128.0)
+                      / 20.0)
             stack.append(v)
             defaults.append(jnp.max(v))
         spans["dist"] = (first, len(stack))
     if "registration" in tasks and "reg" in subject:
         first = len(stack)
         for c in range(3):
-            stack.append(jnp.nan_to_num(subject["reg"][..., c]) / 10000.0)
+            stack.append(hmask(jnp.nan_to_num(subject["reg"][..., c])
+                               / 10000.0))
             defaults.append(0.0)
         spans["reg"] = (first, len(stack))
 
@@ -195,6 +216,10 @@ def make_targets(key, subject, grid, setup, sfd, cfg, tasks, extra=None):
                 target[f"{t}_DM"] = _flip0(d, flip)[..., None]
     if "CT" in warped:
         target["CT"] = _flip0(warped["CT"][..., 0], flip)[..., None]
+        if "CT_DM" in warped:
+            d = jnp.clip(warped["CT_DM"][..., 0], 0.0, None)
+            d = d / jnp.maximum(jnp.max(d), 1e-12)
+            target["CT_DM"] = _flip0(d, flip)[..., None]
     if "segmentation" in tasks and "seg" in subject:
         target["segmentation"] = _target_segmentation(
             subject["seg"], grid, flip, lut, vflip, cfg, hemis_mask,
@@ -257,7 +282,7 @@ def _finish_sample(key, idef, cfg, setup, knobs, tasks, target,
     return sample
 
 
-def _synth_volumes(key, subject, cfg, setup, tasks):
+def _synth_volumes(key, subject, cfg, setup, tasks, hemis_mask=None):
     """All S synthetic contrasts, subject-frame, channel-stacked (re-design
     of generate_sample, datasets.py:357-376): the S intra-subject samples
     share the deformation grid, so their synthesized volumes — plus the
@@ -275,6 +300,12 @@ def _synth_volumes(key, subject, cfg, setup, tasks):
     sigmas = jnp.stack([s for _, s in luts], axis=-1)   # (256, S)
 
     g = jnp.where(gen == 77, 2, gen)
+    if hemis_mask is not None:
+        # parity: G[hemis_mask == 0] = 0, datasets.py:367-368 — without it
+        # the synthesized INPUT renders both hemispheres while every
+        # target is left-masked, and wm/gm means + the pathology
+        # keep-mask include right-hemisphere voxels
+        g = jnp.where(hemis_mask == 0, 0, g)
     gr = jnp.clip(jnp.round(g).astype(jnp.int32), 0, 255)
     noise = jax.random.normal(kn, (*gr.shape, S))
     # one fused gather-free table lookup for all 2S columns
@@ -340,15 +371,14 @@ def _synth_sample(key, syn, keep_i, pathol_dir_i, subject, cfg, setup, knobs,
                           pathol_dir_i, "synth"), target
 
 
-def _real_sample(key, subject, grid, cfg, setup, knobs, tasks, target,
-                 input_mode, hemis_mask):
+def _real_sample(key, idef, cfg, setup, knobs, tasks, target, input_mode):
     """One real-image sample (parity: augment_sample on a file image,
-    datasets.py:306-317)."""
+    datasets.py:306-317). `idef` is the deformed image, warped ONCE by the
+    caller — all S intra-subject samples share the grid, and the Pallas
+    warp is an opaque custom call XLA's CSE cannot merge, so warping
+    inside the per-sample loop would cost S-1 redundant full-volume
+    warps."""
     k1, k2 = jax.random.split(key)
-    v = jnp.nan_to_num(subject["image"])
-    if hemis_mask is not None:
-        v = jnp.where(hemis_mask == 0, 0.0, v)
-    idef = warp_volume(v, grid, cfg, approx=cfg.approx_warp)
     if input_mode in ("T1", "CT"):
         pathol_dir = jnp.zeros(())
     elif input_mode in ("T2", "FLAIR"):
@@ -375,17 +405,27 @@ def _synth_item_impl(key, subject_vals, subject_keys, cfg: SynthStatic,
     grid = deform_grid(cfg, shp, A, c2, F)
 
     S = cfg.all_samples
+    labels = LABELS_LEFT if cfg.left_hemis_only else LABELS_EXTRACEREBRAL
+    hemis_mask = _hemis_mask_src(subject, cfg, jnp.asarray(build_lut(labels)))
     extra = None
     if input_mode == "synth":
         k_syn = jax.random.fold_in(k_samp, 10_000)
-        extra, pathol_dir = _synth_volumes(k_syn, subject, cfg, setup, tasks)
+        extra, pathol_dir = _synth_volumes(k_syn, subject, cfg, setup, tasks,
+                                           hemis_mask)
 
     target, hemis_mask, extra_warped = make_targets(
-        k_tgt, subject, grid, setup, sfd, cfg, tasks, extra=extra)
+        k_tgt, subject, grid, setup, sfd, cfg, tasks, extra=extra,
+        hemis_mask=hemis_mask)
 
     samples = []
     if input_mode == "synth":
         syn_w, keep = _split_synth_warped(extra_warped, S, tasks)
+    else:
+        # warp the real image ONCE (shared grid; see _real_sample)
+        v = jnp.nan_to_num(subject["image"])
+        if hemis_mask is not None:
+            v = jnp.where(hemis_mask == 0, 0.0, v)
+        idef_real = warp_volume(v, grid, cfg, approx=cfg.approx_warp)
     for i in range(S):
         ki = jax.random.fold_in(k_samp, i)
         knobs = jax.tree.map(lambda a: a[i], knobs_stack)
@@ -394,16 +434,21 @@ def _synth_item_impl(key, subject_vals, subject_keys, cfg: SynthStatic,
                 ki, syn_w[i], keep[i] if keep else None, pathol_dir[i],
                 subject, cfg, setup, knobs, tasks, target)
         else:
-            sample = _real_sample(ki, subject, grid, cfg, setup, knobs, tasks,
-                                  target, input_mode, hemis_mask)
+            sample = _real_sample(ki, idef_real, cfg, setup, knobs, tasks,
+                                  target, input_mode)
         samples.append(sample)
 
     # surface-task deformation state for the host-side mesh warp
     # (parity: read_and_deform_surface needs the inverse affine + negative
     # SVF of THIS item's deformation, Generator/utils.py:479-534; consumed
     # by synth.surface.deform_surfaces)
-    if "surface" in tasks and Fneg is not None:
-        target["surface_svf_neg"] = Fneg
+    if "surface" in tasks:
+        # nonlinear_transform off: the affine+flip mesh transform is still
+        # well-defined — emit a zero SVF instead of silently dropping the
+        # whole surface state (the reference would crash here: its
+        # read_and_deform_surface interpolates Fneg unconditionally)
+        target["surface_svf_neg"] = Fneg if Fneg is not None else \
+            jnp.zeros((*cfg.size, 3), jnp.float32)
         target["surface_affine_A"] = A
         target["surface_affine_c2"] = c2
         target["surface_flip"] = setup["flip"]
@@ -519,9 +564,19 @@ class SubjectBank:
                 vol, _ = load_nifti(p)
                 vol = vol.astype(np.int32 if key in ("gen", "seg")
                                  else np.float32)
-            shape = vol.shape[:3]
+            if shape is None:
+                shape = vol.shape[:3]
+            elif tuple(vol.shape[:3]) != tuple(shape):
+                raise ValueError(
+                    f"subject volumes disagree on shape: {key} is "
+                    f"{vol.shape[:3]}, expected {shape} — all of a "
+                    "subject's volumes must share one native grid")
             subj[key] = self._pad(vol, self.bank_shape)
-        subj["shape"] = np.asarray(shape, np.float32)
+        # effective extent = what the bank actually stores: a volume larger
+        # than bank_shape is cropped by _pad, and recording the full native
+        # extent would let deform_grid sample the zero padding
+        subj["shape"] = np.asarray(
+            [min(s, b) for s, b in zip(shape, self.bank_shape)], np.float32)
         if age is not None:
             subj["age"] = np.float32(age)
         self.subjects.append(subj)
@@ -562,14 +617,19 @@ class SubjectBank:
     def to_device(self, idx: int, cache_size: int = 4):
         """Device-resident view of subject `idx`, LRU-cached: repeated use
         (every training iteration samples from the bank) must not re-ship
-        the ~200 MB of volumes over the host link each step."""
+        the ~200 MB of volumes over the host link each step. True LRU —
+        hits refresh recency, so a hot subject survives cold ones cycling
+        through."""
+        from collections import OrderedDict
+
         if not hasattr(self, "_dev_cache"):
-            self._dev_cache = {}
+            self._dev_cache = OrderedDict()
         if idx in self._dev_cache:
+            self._dev_cache.move_to_end(idx)
             return self._dev_cache[idx]
         dev = {k: jnp.asarray(v) for k, v in self.subjects[idx].items()}
-        if len(self._dev_cache) >= cache_size:
-            self._dev_cache.pop(next(iter(self._dev_cache)))
+        while len(self._dev_cache) >= cache_size:
+            self._dev_cache.popitem(last=False)
         self._dev_cache[idx] = dev
         return dev
 

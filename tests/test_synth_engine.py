@@ -124,3 +124,40 @@ def test_synth_item_under_vmap_keys(bank, cfg):
 
     t, s = jax.vmap(gen)(jax.random.split(jax.random.PRNGKey(0), 2))
     assert s["input"].shape == (2, 2, *SIZE, 1)
+
+
+def test_left_hemis_only_mode(bank):
+    """left_hemis_only (parity: datasets.py:166-184,251-262,367-368,483):
+    the segmentation one-hot is len(LABELS_LEFT)=18 channels wide (the
+    naive vflip formula emitted 20 and desynced from the model head),
+    distance is the 2-channel lp/lw stack, flip is forced off, the
+    synthesized input and the regression targets respect the hemisphere
+    mask, and every output is finite."""
+    from brainfm_tpu.synth.constants import (LABELS_LEFT, build_vflip)
+
+    # vflip for a left-only list is the identity of length n_labels
+    vf = build_vflip(len(LABELS_LEFT))
+    assert vf.shape == (len(LABELS_LEFT),)
+    np.testing.assert_array_equal(vf, np.arange(len(LABELS_LEFT)))
+
+    cfg = SynthStatic(size=SIZE, all_samples=2, mild_samples=1,
+                      left_hemis_only=True)
+    tasks = ("T1", "segmentation", "distance", "registration", "bias_field")
+    knobs = build_knobs_stack(cfg, "synth")
+    subj = bank.to_device(0)
+    target, samples = synth_item(jax.random.PRNGKey(3), subj, cfg, tasks,
+                                 "synth", knobs)
+    assert target["segmentation"].shape[-1] == len(LABELS_LEFT)
+    assert target["distance"].shape[-1] == 2
+    for tree in (target, samples):
+        for k, v in tree.items():
+            assert np.isfinite(np.asarray(v)).all(), k
+    # seg probability mass outside label 0 only where the left mask held:
+    # right-hemisphere voxels (MNI x >= 0 in the debug subject's reg map)
+    # must be background in the one-hot
+    seg = np.asarray(target["segmentation"])
+    fg = seg[..., 1:].sum(-1) > 0.5
+    # the debug subject's reg x-coordinate is the warped MNI x; targets are
+    # all warped by the same grid, so compare against the warped reg target
+    regx = np.asarray(target["registration"][..., 0]) * 10000.0
+    assert not (fg & (regx > 1.0)).any()
