@@ -101,3 +101,52 @@ def test_val_best_checkpoint_and_resume(tmp_path):
         lines = [json.loads(line) for line in f]
     assert lines[-1]["epoch"] == 3
     assert read_extra(latest_checkpoint(ckp))["best_val_stats"] is not None
+
+
+def test_hemis_config_end_to_end(tmp_path):
+    """The shipped left-hemisphere config pair (brain_id_hemis +
+    joint_hemis, parity: reference cfgs of the same names) must train end
+    to end: the synth engine's 18-channel LABELS_LEFT one-hot and
+    2-channel lp/lw distance stack have to line up with the model head
+    widths that process_args derives from the same flag
+    (Trainer/models/__init__.py:37-125), through the criterion to a
+    finite loss."""
+    import json
+
+    from brainfm_tpu.config import load_config
+    from brainfm_tpu.models.build import LABELS_LEFT
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    gen = load_config([os.path.join(root, "cfgs/generator/default.yaml"),
+                       "brain_id_hemis"],
+                      cfg_dir=os.path.join(root, "cfgs/generator/train"))
+    cfg = load_config([os.path.join(root, "cfgs/trainer/default_train.yaml"),
+                       "joint_hemis"],
+                      cfg_dir=os.path.join(root, "cfgs/trainer/train"))
+    for k, v in gen.items():
+        if k not in cfg:
+            cfg[k] = v
+    assert cfg.generator.left_hemis_only and cfg.generator.photo_prob > 0
+    # shrink for CPU test speed; keep the hemis semantics untouched
+    cfg.f_maps, cfg.num_levels, cfg.task_f_maps = 8, 2, [8]
+    cfg.generator.size = [16, 16, 16]
+    cfg.generator.all_samples, cfg.generator.mild_samples = 2, 1
+    cfg.n_epochs = 1
+
+    cfg, model = build_model(cfg)
+    assert cfg.n_labels == len(LABELS_LEFT) == 18
+    assert cfg.out_channels["distance"] == 2
+    _, weight_dict, loss_fn = make_criterion(cfg)
+    bank = SubjectBank(bank_shape=(24, 24, 24))
+    bank.add_debug_subject(seed=0, extent=(20, 20, 20))
+
+    out = str(tmp_path / "run")
+    train(cfg, model, weight_dict, loss_fn, bank, out, itr_per_epoch=2,
+          batch_items=1, seed=0, log_itr=1, val_itr=1, n_val_items=1)
+
+    with open(os.path.join(out, "log.txt")) as f:
+        lines = [json.loads(line) for line in f]
+    assert lines, "no training log lines"
+    import math
+    assert all(math.isfinite(ln["train_loss_total"])
+               and math.isfinite(ln["val_loss_total"]) for ln in lines)
