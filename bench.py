@@ -75,8 +75,20 @@ def _backend_reachable(timeout_s: float = 180.0) -> bool:
             [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
             capture_output=True, text=True, timeout=timeout_s,
             cwd=os.path.dirname(os.path.abspath(__file__)))
+        if out.returncode != 0:
+            # distinguish "relay down" from e.g. a broken install: the
+            # probe's own stderr is the only diagnostic there is
+            print(f"# backend probe rc={out.returncode}; stderr tail:\n"
+                  + "\n".join(out.stderr.strip().splitlines()[-5:]),
+                  file=sys.stderr)
         return out.returncode == 0
-    except Exception:
+    except subprocess.TimeoutExpired:
+        print(f"# backend probe timed out after {timeout_s:.0f}s "
+              "(jax.devices() blocked — relay tunnel down)", file=sys.stderr)
+        return False
+    except Exception as e:
+        print(f"# backend probe failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
         return False
 
 

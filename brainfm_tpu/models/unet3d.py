@@ -125,6 +125,10 @@ def _remat_block(remat):
         return nn.remat(DoubleConv,
                         policy=jax.checkpoint_policies.save_only_these_names(
                             "conv_out"))
+    if remat is not True and remat != "full":
+        raise ValueError(
+            f"unknown remat mode {remat!r}: expected False, True/'full', "
+            "or 'save_convs'")
     return nn.remat(DoubleConv)
 
 

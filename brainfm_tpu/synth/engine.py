@@ -14,7 +14,7 @@ at cfg.size, channels-last.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Sequence
 
 import jax
@@ -39,6 +39,14 @@ def _flip0(x, flip):
     return jnp.where(flip > 0, jnp.flip(x, axis=0), x)
 
 
+@lru_cache(maxsize=None)
+def _label_tables(left: bool):
+    """Shared trace-time (labels, lut, vflip) tables for a hemisphere mode
+    — one construction per mode instead of one per call site."""
+    labels = LABELS_LEFT if left else LABELS_EXTRACEREBRAL
+    return labels, build_lut(labels), build_vflip(len(labels))
+
+
 def _deform(vol, grid, mode="linear", default=0.0, cfg=None, approx=False):
     xx2, yy2, zz2 = grid
     if mode == "nearest":
@@ -58,9 +66,16 @@ def _hemis_mask_src(subject, cfg, lut):
     warping — exactly where the reference masks the source crop
     (read_and_deform, utils.py:310-311 and generate_sample
     datasets.py:367-368)."""
-    if not cfg.left_hemis_only or "seg" not in subject \
-            or "reg" not in subject:
+    if not cfg.left_hemis_only:
         return None
+    if "seg" not in subject or "reg" not in subject:
+        # the reference crashes here too (get_left_hemis_mask reads the
+        # registration volume unconditionally); proceeding without the
+        # mask would silently train background over visible right-
+        # hemisphere tissue
+        raise ValueError(
+            "left_hemis_only requires every subject to carry 'seg' and "
+            f"'reg' volumes; got keys {sorted(subject)}")
     s = lut_apply(lut, jnp.clip(subject["seg"].astype(jnp.int32),
                                 0, lut.shape[0] - 1))
     return ((s > 0) & (subject["reg"][..., 0] < 0)).astype(jnp.int32)
@@ -136,9 +151,8 @@ def make_targets(key, subject, grid, setup, sfd, cfg, tasks, extra=None,
     reference processors (Generator/utils.py:324-471)."""
     flip = setup["flip"]
     left = cfg.left_hemis_only
-    labels = LABELS_LEFT if left else LABELS_EXTRACEREBRAL
-    lut = jnp.asarray(build_lut(labels))
-    vflip = jnp.asarray(build_vflip(len(labels)))
+    _, lut_np, vflip_np = _label_tables(left)
+    lut, vflip = jnp.asarray(lut_np), jnp.asarray(vflip_np)
 
     if hemis_mask is None:
         hemis_mask = _hemis_mask_src(subject, cfg, lut)
@@ -249,7 +263,7 @@ def make_targets(key, subject, grid, setup, sfd, cfg, tasks, extra=None,
         target["pathology_prob"] = pprob
     if "age" in tasks and "age" in subject:
         target["age"] = subject["age"]
-    return target, hemis_mask, extra_warped
+    return target, extra_warped
 
 
 def _finish_sample(key, idef, cfg, setup, knobs, tasks, target,
@@ -405,15 +419,15 @@ def _synth_item_impl(key, subject_vals, subject_keys, cfg: SynthStatic,
     grid = deform_grid(cfg, shp, A, c2, F)
 
     S = cfg.all_samples
-    labels = LABELS_LEFT if cfg.left_hemis_only else LABELS_EXTRACEREBRAL
-    hemis_mask = _hemis_mask_src(subject, cfg, jnp.asarray(build_lut(labels)))
+    _, lut_np, _ = _label_tables(cfg.left_hemis_only)
+    hemis_mask = _hemis_mask_src(subject, cfg, jnp.asarray(lut_np))
     extra = None
     if input_mode == "synth":
         k_syn = jax.random.fold_in(k_samp, 10_000)
         extra, pathol_dir = _synth_volumes(k_syn, subject, cfg, setup, tasks,
                                            hemis_mask)
 
-    target, hemis_mask, extra_warped = make_targets(
+    target, extra_warped = make_targets(
         k_tgt, subject, grid, setup, sfd, cfg, tasks, extra=extra,
         hemis_mask=hemis_mask)
 
@@ -608,7 +622,10 @@ class SubjectBank:
             "image": self._pad(t1, self.bank_shape),
             "dist": self._pad(dist, self.bank_shape),
             "reg": self._pad(reg, self.bank_shape),
-            "shape": np.asarray(extent, np.float32),
+            # effective extent, same clamp as add_from_files: _pad crops
+            # anything beyond bank_shape
+            "shape": np.asarray([min(s, b) for s, b in
+                                 zip(extent, self.bank_shape)], np.float32),
             "age": np.float32(rng.uniform(20.0, 90.0)),
         }
         self.subjects.append(subj)
