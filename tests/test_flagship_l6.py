@@ -26,7 +26,10 @@ from brainfm_tpu.parallel.mesh import make_mesh
 from brainfm_tpu.train.step import TrainState, build_optimizer, \
     make_train_step
 
-pytestmark = pytest.mark.slow
+# NOTE: no module-level `slow` mark — the flagship160 tests below must
+# carry ONLY their own marker, or a `-m slow` run (which overrides the
+# addopts `-m "not flagship160"` exclusion) would pull in the ~1e14-FLOP
+# runs this host cannot execute.
 
 
 def _l6_cfg(size, f_maps=64):
@@ -97,6 +100,7 @@ def _assert_grads_close(ref_grads, sp_grads, rel_l2=2e-3):
         assert err < rel_l2, f"grad rel-L2 {err:.2e} (leaf shape {a.shape})"
 
 
+@pytest.mark.slow
 def test_l6_spatial_shard_matches_unsharded_48():
     """Flagship DEPTH (L6: 6 levels — the part GSPMD partitioning can get
     wrong: conv halos, GroupNorm cross-shard stats, nearest-upsample
