@@ -23,10 +23,21 @@ memory-frugality goal, compiler-managed.
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
-_DOPRI5_C = jnp.array([0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0])
+
+def _f32(x):
+    # host-side f32 constants: importing this module must NOT initialize
+    # the XLA backend (import-time jnp.array does; it broke
+    # jax.distributed.initialize in scripts/train.py --mesh). f32 matches
+    # what import-time jnp.array produced (x64 is never on at import).
+    return np.asarray(x, np.float32)
+
+
+_DOPRI5_C = _f32([0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0])
 _DOPRI5_A = [
     [],
     [1 / 5],
@@ -36,13 +47,13 @@ _DOPRI5_A = [
     [9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656],
     [35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84],
 ]
-_DOPRI5_B = jnp.array([35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0])
-_DOPRI5_BERR = _DOPRI5_B - jnp.array(
+_DOPRI5_B = _f32([35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0])
+_DOPRI5_BERR = _DOPRI5_B - _f32(
     [5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200, 187 / 2100, 1 / 40])
 
 
 # Tsitouras 2011 5(4) pair (public tableau; FSAL: row 7 equals b)
-_TSIT5_C = jnp.array([0.0, 0.161, 0.327, 0.9, 0.9800255409045097, 1.0, 1.0])
+_TSIT5_C = _f32([0.0, 0.161, 0.327, 0.9, 0.9800255409045097, 1.0, 1.0])
 _TSIT5_A = [
     [],
     [0.161],
@@ -55,10 +66,10 @@ _TSIT5_A = [
     [0.09646076681806523, 0.01, 0.4798896504144996, 1.379008574103742,
      -3.290069515436081, 2.324710524099774],
 ]
-_TSIT5_B = jnp.array([0.09646076681806523, 0.01, 0.4798896504144996,
+_TSIT5_B = _f32([0.09646076681806523, 0.01, 0.4798896504144996,
                       1.379008574103742, -3.290069515436081,
                       2.324710524099774, 0.0])
-_TSIT5_BERR = jnp.array([0.00178001105222577714, 0.0008164344596567469,
+_TSIT5_BERR = _f32([0.00178001105222577714, 0.0008164344596567469,
                          -0.007880878010261995, 0.1447110071732629,
                          -0.5823571654525552, 0.45808210592918697,
                          -1.0 / 66.0])
@@ -148,8 +159,8 @@ _TABLEAUS.update({
 })
 
 # Adams-Bashforth 4 / Adams-Moulton 4 coefficients (newest first)
-_AB4 = jnp.array([55.0, -59.0, 37.0, -9.0]) / 24.0
-_AM4 = jnp.array([9.0, 19.0, -5.0, 1.0]) / 24.0
+_AB4 = _f32([55.0, -59.0, 37.0, -9.0]) / _f32(24.0)
+_AM4 = _f32([9.0, 19.0, -5.0, 1.0]) / _f32(24.0)
 
 
 def _adams_integrate(func, y0, t, corrector: bool):
