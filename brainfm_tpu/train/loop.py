@@ -106,7 +106,8 @@ def train(cfg, model, weight_dict, loss_fn, bank, out_dir: str,
           itr_per_epoch: int = 100, batch_items: int = 1,
           input_modes=("synth",), seed: int = 0, log_itr: int = 10,
           resume: str | None = None, vis_itr: int = 0, val_itr: int = 1,
-          n_val_items: int = 2, keep_ckpt: int = 2, stream=None, mesh=None):
+          n_val_items: int = 2, keep_ckpt: int = 2, stream=None, mesh=None,
+          fsdp: bool = False):
     """Run the full training loop. `bank`: SubjectBank; `cfg`: processed
     trainer config (with .generator etc.).
 
@@ -129,6 +130,12 @@ def train(cfg, model, weight_dict, loss_fn, bank, out_dir: str,
     the TPU analog of the reference's per-rank DataLoader workers — and
     in stream mode the dataset/modality roulette is drawn once per batch
     (ConcatStream.epoch_grouped) so a batch is one SPMD program.
+
+    `fsdp`: with a mesh, shard params AND optimizer state over the 'data'
+    axis (ZeRO/FSDP; parallel/fsdp.py) instead of replicating — per-device
+    state memory drops by the data-axis size, XLA all-gathers params on
+    use and reduce-scatters grads. Math identical to the replicated path
+    (fp64-exact, tests/test_fsdp.py).
 
     Validation + best checkpoint (parity: best_val_stats carried in every
     checkpoint and the pre-save backup rename, scripts/train.py:173,196-214):
@@ -178,7 +185,12 @@ def train(cfg, model, weight_dict, loss_fn, bank, out_dir: str,
         vol_spec = NamedSharding(
             mesh, P("data", None, "space") if has_space else P("data"))
         flat_spec = NamedSharding(mesh, P("data"))
-        state = jax.tree.map(lambda a: jax.device_put(a, repl), state)
+        if fsdp:
+            from ..parallel.fsdp import shard_state
+
+            state = shard_state(state, mesh)
+        else:
+            state = jax.tree.map(lambda a: jax.device_put(a, repl), state)
 
         def shard_train_batch(b):
             return jax.tree.map(

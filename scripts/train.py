@@ -84,7 +84,19 @@ def main():
                          "or 4x2 (batch over data, volume D over space)")
     ap.add_argument("--batch_items", type=int, default=0,
                     help="items per step (0 = cfg.batch_size)")
+    ap.add_argument("--fsdp", action="store_true",
+                    help="with --mesh: shard params + optimizer state over "
+                         "the data axis (ZeRO; parallel/fsdp.py) instead of "
+                         "replicating")
     args = ap.parse_args()
+
+    if args.mesh:
+        # must run before ANY backend-touching call (build_datasets puts
+        # subject banks on device) — jax.distributed.initialize() refuses
+        # to run once the XLA backend exists
+        from brainfm_tpu.parallel.mesh import init_distributed
+
+        init_distributed()
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     gen_cfg = load_config([os.path.join(root, "cfgs/generator/default.yaml"),
@@ -117,9 +129,8 @@ def main():
     print("datasets:", n_subj)
     mesh = None
     if args.mesh:
-        from brainfm_tpu.parallel.mesh import init_distributed, make_mesh
+        from brainfm_tpu.parallel.mesh import make_mesh
 
-        init_distributed()
         parts = [int(v) for v in args.mesh.lower().split("x")]
         mesh = make_mesh(data=parts[0],
                          space=parts[1] if len(parts) > 1 else 1)
@@ -154,7 +165,7 @@ def main():
         return
     state = train(cfg, model, weight_dict, loss_fn, None, out_dir,
                   itr_per_epoch=itr, resume=args.resume, stream=stream,
-                  mesh=mesh, batch_items=batch_items)
+                  mesh=mesh, batch_items=batch_items, fsdp=args.fsdp)
     print("training done; final step", int(state.step))
 
 
