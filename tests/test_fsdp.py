@@ -177,3 +177,17 @@ def test_train_loop_fsdp_smoke(tmp_path):
     leaves = jax.tree.leaves(state.params)
     assert all(np.isfinite(np.asarray(v)).all() for v in leaves)
     assert any(_leaf_is_sharded(a) for a in leaves)
+
+    # resume: the orbax save of the SHARDED state restores unsharded, the
+    # loop re-shards, and training continues one more epoch
+    from brainfm_tpu.train.checkpoint import latest_checkpoint
+
+    ck = latest_checkpoint(str(tmp_path / "run" / "ckp"))
+    assert ck is not None
+    cfg2.n_epochs = 2
+    state2 = train(cfg2, model, weight_dict, loss_fn, None,
+                   str(tmp_path / "run"), itr_per_epoch=2, batch_items=4,
+                   seed=0, log_itr=1, val_itr=1, n_val_items=1,
+                   stream=stream, mesh=mesh, fsdp=True, resume=ck)
+    assert int(state2.step) == 4
+    assert any(_leaf_is_sharded(a) for a in jax.tree.leaves(state2.params))
