@@ -133,11 +133,7 @@ class Inferencer:
             assert "space" in self.mesh.axis_names, self.mesh.axis_names
             x = jax.device_put(
                 x, NamedSharding(self.mesh, P(None, "space")))
-            if not getattr(self, "_params_replicated", False):
-                self.params = jax.tree.map(
-                    lambda a: jax.device_put(
-                        a, NamedSharding(self.mesh, P())), self.params)
-                self._params_replicated = True
+            self._replicate_params_on_mesh()
         do_post = run_postprocess and not feature_only
         import contextlib
 
@@ -149,6 +145,49 @@ class Inferencer:
                 out = self._jitted_post(out, x)
         if feature_only:
             return out["feat"][-1]
+        return out
+
+    def _replicate_params_on_mesh(self):
+        if not getattr(self, "_params_replicated", False):
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self.params = jax.tree.map(
+                lambda a: jax.device_put(
+                    a, NamedSharding(self.mesh, P())), self.params)
+            self._params_replicated = True
+
+    def evaluate_batch(self, vols, run_postprocess: bool = True,
+                       keep_feat: bool = False):
+        """B same-shape whole volumes in ONE dispatch. With a mesh carrying
+        a 'data' axis the batch runs one-volume-per-data-rank (depth
+        additionally sharded over 'space' when present) — serving
+        throughput scales linearly with chips, the inference analog of DP
+        training. B must be a multiple of the data-axis size. The
+        reference serves strictly one volume at a time
+        (evaluate_path, /root/reference/utils/test_utils.py:354-405).
+        keep_feat defaults False (serving headroom, see evaluate_image)."""
+        import contextlib
+
+        x = jnp.asarray(vols)
+        if x.ndim == 4:
+            x = x[..., None]
+        assert x.ndim == 5, f"expected (B,D,H,W[,1]), got {x.shape}"
+        ctx = contextlib.nullcontext()
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            shape = dict(self.mesh.shape)
+            data = "data" if shape.get("data", 1) > 1 else None
+            space = "space" if shape.get("space", 1) > 1 else None
+            if data:
+                assert x.shape[0] % shape["data"] == 0, (x.shape, shape)
+            x = jax.device_put(x, NamedSharding(self.mesh, P(data, space)))
+            self._replicate_params_on_mesh()
+            ctx = jax.sharding.set_mesh(self.mesh)
+        with ctx:
+            out = self._jitted(self.params, x, keep_feat=keep_feat)
+            if run_postprocess:
+                out = self._jitted_post(out, x)
         return out
 
     def evaluate_tiled(self, vol, stride=(80, 80, 80),

@@ -272,6 +272,48 @@ def test_inferencer_mesh_sharded_matches_single():
         jax.config.update("jax_enable_x64", False)
 
 
+def test_inferencer_evaluate_batch_matches_per_volume():
+    """Multi-chip batched serving: evaluate_batch runs B whole volumes in
+    one dispatch, one volume per mesh data-rank (+ depth over 'space'),
+    and must equal per-volume evaluate_image exactly (fp64). The
+    reference serves volumes strictly one at a time."""
+    from brainfm_tpu.config import AttrDict
+    from brainfm_tpu.infer.api import Inferencer
+    from brainfm_tpu.parallel.mesh import make_mesh
+
+    cfg = dict(
+        task={"T1": True, "segmentation": True},
+        generator={"left_hemis_only": False, "size": [16, 16, 16]},
+        losses={"uncertainty": None},
+        backbone="unet3d", f_maps=8, num_levels=2, num_groups=8,
+        layer_order="gcl", unit_feat=False, task_f_maps=[8],
+        label_list_segmentation_with_csf=[0, 14, 15, 16, 24, 77, 85],
+    )
+    vols = np.random.default_rng(1).random((4, 16, 16, 16))
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        single = Inferencer(AttrDict.from_nested(cfg),
+                            compute_dtype=jnp.float64)
+        single.params = jax.tree.map(
+            lambda a: a.astype(jnp.float64), single.params)
+        mesh = make_mesh(data=4, space=2)
+        batched = Inferencer(AttrDict.from_nested(cfg), mesh=mesh,
+                             compute_dtype=jnp.float64)
+        batched.params = single.params
+
+        b = batched.evaluate_batch(vols, run_postprocess=False)
+        for i in range(4):
+            a = single.evaluate_image(vols[i], run_postprocess=False,
+                                      keep_feat=False)
+            for k in ("T1", "segmentation"):
+                np.testing.assert_allclose(
+                    np.asarray(a[k][0]), np.asarray(b[k][i]),
+                    rtol=1e-12, atol=1e-12, err_msg=f"{k}[{i}]")
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
 def test_remat_modes_identical_grads():
     """remat=False / True / 'save_convs' are pure memory-schedule choices:
     loss and gradients must agree to fusion/reassociation noise (the
