@@ -267,9 +267,17 @@ class Inferencer:
 
     def evaluate_path(self, input_paths, save_dir, win_size=(220, 220, 220),
                       exclude_keys=(), ext=".nii.gz", save_input=False,
-                      prefetch: bool = True):
+                      prefetch: bool = True, batch_size: int = 1):
         """Batch file evaluation with NIfTI dumps (parity:
         test_utils.py:354-405).
+
+        `batch_size` > 1 serves volume GROUPS through evaluate_batch —
+        one whole volume per mesh data-rank per dispatch (requires an
+        Inferencer mesh with a 'data' axis for the HBM to make sense;
+        the last partial group is padded by repetition and the extra
+        outputs dropped). Decode of group n+1 and NIfTI writes of group
+        n-1 overlap compute of group n, same as the single-volume
+        pipeline.
 
         Serving throughput: with `prefetch` (default) the pipeline is
         double-buffered — volume n+1 decodes/resamples on a host thread
@@ -284,6 +292,10 @@ class Inferencer:
         raises — including a writer-thread failure racing a decode error."""
         input_paths = list(input_paths)
         results = []
+        if batch_size > 1:
+            return self._evaluate_path_batched(
+                input_paths, save_dir, win_size, exclude_keys, ext,
+                save_input, batch_size)
         if not prefetch or len(input_paths) <= 1:
             for p in input_paths:
                 im, aff, _, _ = prepare_image(p, list(win_size))
@@ -331,6 +343,74 @@ class Inferencer:
                 # a writer failure is silently discarded when a later
                 # decode/forward raises first (the write error chains as
                 # __context__ if both fail)
+                if write is not None:
+                    write.result()
+        return results
+
+    def _evaluate_path_batched(self, input_paths, save_dir, win_size,
+                               exclude_keys, ext, save_input, batch_size):
+        """Group-batched serving pipeline (see evaluate_path batch_size)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        groups = [input_paths[i:i + batch_size]
+                  for i in range(0, len(input_paths), batch_size)]
+
+        results = []
+        # decode pool: one worker per group member; wr carries the group
+        # loader AND the (at most one in-flight) group write concurrently
+        with ThreadPoolExecutor(max_workers=batch_size) as dec, \
+                ThreadPoolExecutor(max_workers=2) as wr:
+
+            def load_group(g):
+                return list(dec.map(
+                    lambda p: prepare_image(p, list(win_size)), g))
+
+            def write_group(host, items):
+                for i, (p, aff) in enumerate(items):
+                    out_dir = os.path.join(
+                        save_dir, os.path.basename(p).split(".nii")[0])
+                    os.makedirs(out_dir, exist_ok=True)
+                    one = {k: v[i:i + 1] for k, v in host.items()}
+                    self._write_outputs(one, aff, out_dir, ext)
+
+            # the group loader runs on the WRITER pool (not dec): a
+            # dec.map scheduled from inside a dec worker would deadlock
+            # when all dec workers are busy
+            load = wr.submit(load_group, groups[0])
+            write = None
+            try:
+                for gi, g in enumerate(groups):
+                    loaded = load.result()
+                    if gi + 1 < len(groups):
+                        load = wr.submit(load_group, groups[gi + 1])
+                    vols = [im for im, _, _, _ in loaded]
+                    affs = [aff for _, aff, _, _ in loaded]
+                    if save_input:
+                        for p, im, aff in zip(g, vols, affs):
+                            out_dir = os.path.join(
+                                save_dir,
+                                os.path.basename(p).split(".nii")[0])
+                            os.makedirs(out_dir, exist_ok=True)
+                            viewVolume(np.asarray(im), aff, names=["input"],
+                                       ext=ext, save_dir=out_dir)
+                    # pad the tail group by repetition (the data-axis
+                    # sharding needs the full B); extras dropped below
+                    n_real = len(vols)
+                    while len(vols) < batch_size:
+                        vols.append(vols[-1])
+                    x = jnp.stack([jnp.asarray(v) for v in vols])[..., None]
+                    outs = self.evaluate_batch(x)  # async dispatch
+                    host = self._fetch_outputs(outs, exclude_keys)
+                    host = {k: v[:n_real] for k, v in host.items()}
+                    if write is not None:
+                        write.result()
+                    items = list(zip(g, affs))
+                    write = wr.submit(write_group, host, items)
+                    results.extend(
+                        os.path.join(save_dir,
+                                     os.path.basename(p).split(".nii")[0])
+                        for p in g)
+            finally:
                 if write is not None:
                     write.result()
         return results

@@ -228,6 +228,23 @@ def test_evaluate_path_prefetch_matches_serial(tmp_path):
             vb, _ = load_nifti(os.path.join(b, f))
             np.testing.assert_array_equal(va, vb, err_msg=f)
 
+    # group-batched serving (batch_size=2 over 3 files exercises the
+    # padded tail group): same outputs as the serial pipeline. Pipeline
+    # correctness only — the sharded-numerics side of evaluate_batch is
+    # test_inferencer_evaluate_batch_matches_per_volume (fp64 exact)
+    d_bat = inf.evaluate_path(paths, str(tmp_path / "batched"),
+                              win_size=(32, 32, 32), batch_size=2)
+    assert len(d_bat) == 3
+    for a, b in zip(d_ser, d_bat):
+        fa = sorted(os.listdir(a))
+        fb = sorted(os.listdir(b))
+        assert fa == fb and fa, (fa, fb)
+        for f in fa:
+            va, _ = load_nifti(os.path.join(a, f))
+            vb, _ = load_nifti(os.path.join(b, f))
+            np.testing.assert_allclose(va, vb, rtol=2e-5, atol=2e-5,
+                                       err_msg=f)
+
 
 def test_inferencer_mesh_sharded_matches_single():
     """Multi-chip whole-volume inference: Inferencer(mesh=) shards the
