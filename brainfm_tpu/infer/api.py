@@ -292,7 +292,7 @@ class Inferencer:
         raises — including a writer-thread failure racing a decode error."""
         input_paths = list(input_paths)
         results = []
-        if batch_size > 1:
+        if batch_size > 1 and input_paths:
             return self._evaluate_path_batched(
                 input_paths, save_dir, win_size, exclude_keys, ext,
                 save_input, batch_size)
