@@ -144,6 +144,7 @@ def test_init_sharded_matches_device_put():
         assert a.sharding.spec == sh.spec, (a.sharding.spec, sh.spec)
 
 
+@pytest.mark.slow
 def test_train_loop_fsdp_smoke(tmp_path):
     """The training loop runs end to end with fsdp=True on a data x space
     mesh (scripts/train.py --mesh 4x2 --fsdp)."""
