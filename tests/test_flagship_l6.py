@@ -161,27 +161,43 @@ def test_l6_spatial_shard_matches_unsharded_48():
 def test_l6_full_width_spatial_shard_matches_unsharded_64():
     """The f_maps-64 (264M-param) variant of the equality test above —
     ~16x the FLOPs; run explicitly with -m flagship160 on a host with
-    real cores."""
-    size = (64, 64, 64)
-    cfg = _l6_cfg(size, f_maps=64)
-    cfg, model = build_model(cfg, compute_dtype=jnp.float32)
-    _, wd, loss_fn = make_criterion(cfg)
-    batch = _l6_batch(size, cfg.n_labels, B=2)
-    params = jax.jit(model.init)(jax.random.PRNGKey(0),
-                                 batch["samples"]["input"][0])
-    vg = jax.jit(jax.value_and_grad(_make_loss(model, cfg, wd, loss_fn)))
-    ref_loss, ref_grads = vg(params, batch)
-    mesh = make_mesh(data=2, space=4)
-    repl = NamedSharding(mesh, P())
-    sp = NamedSharding(mesh, P("data", None, "space"))
-    sp_batch = jax.tree.map(
-        lambda a: jax.device_put(a, sp) if a.ndim >= 3
-        else jax.device_put(a, repl), batch)
-    sp_params = jax.tree.map(lambda a: jax.device_put(a, repl), params)
-    with jax.sharding.set_mesh(mesh):
-        sp_loss, sp_grads = vg(sp_params, sp_batch)
-    np.testing.assert_allclose(float(sp_loss), float(ref_loss), rtol=2e-4)
-    _assert_grads_close(ref_grads, sp_grads)
+    real cores. fp64 for the same reason as the 48-cube test: in fp32,
+    reassociation noise alone reaches ~5e-2 rel-L2 on the deepest decoder
+    conv leaf (3,3,3,3072,1024) — measured 4.69e-2 with losses agreeing
+    to 3e-5 (2026-08-18) — which would force a tolerance loose enough to
+    hide real partitioner errors. fp64 makes sharded==unsharded an exact
+    criterion at full width too."""
+    import jax as _jax
+
+    _jax.config.update("jax_enable_x64", True)
+    try:
+        size = (64, 64, 64)
+        cfg = _l6_cfg(size, f_maps=64)
+        cfg, model = build_model(cfg, compute_dtype=jnp.float64)
+        _, wd, loss_fn = make_criterion(cfg)
+        batch = _l6_batch(size, cfg.n_labels, B=2)
+        batch = jax.tree.map(
+            lambda a: a.astype(jnp.float64)
+            if a.dtype == jnp.float32 else a, batch)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                     batch["samples"]["input"][0])
+        params = jax.tree.map(lambda a: a.astype(jnp.float64), params)
+        vg = jax.jit(jax.value_and_grad(_make_loss(model, cfg, wd, loss_fn)))
+        ref_loss, ref_grads = vg(params, batch)
+        mesh = make_mesh(data=2, space=4)
+        repl = NamedSharding(mesh, P())
+        sp = NamedSharding(mesh, P("data", None, "space"))
+        sp_batch = jax.tree.map(
+            lambda a: jax.device_put(a, sp) if a.ndim >= 3
+            else jax.device_put(a, repl), batch)
+        sp_params = jax.tree.map(lambda a: jax.device_put(a, repl), params)
+        with jax.sharding.set_mesh(mesh):
+            sp_loss, sp_grads = vg(sp_params, sp_batch)
+        np.testing.assert_allclose(float(sp_loss), float(ref_loss),
+                                   rtol=1e-12)
+        _assert_grads_close(ref_grads, sp_grads, rel_l2=1e-6)
+    finally:
+        _jax.config.update("jax_enable_x64", False)
 
 
 @pytest.mark.flagship160
