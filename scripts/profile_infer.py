@@ -1,0 +1,139 @@
+"""Stage-level timing of the whole-volume flagship forward.
+
+Locates where the 220^3 L6 single-dispatch inference time goes
+(BASELINE.md primary metric): encoder tower vs full backbone vs
+heads+processors vs postprocess, each as its own jitted graph with a
+dependent-transfer fence. Run on the real chip:
+
+    python scripts/profile_infer.py                # 220^3 flagship
+    python scripts/profile_infer.py --size 64      # small/CPU smoke
+    python scripts/profile_infer.py --trace DIR    # + jax.profiler trace
+
+Roofline context: the L6/f64 backbone at 220^3 is ~21 bf16 TFLOP.
+Nominal v5e peak (197 TF/s) would put that at ~107 ms, but THIS relay
+chip measures de-rated ~4-5x across the board (conv3d ~30 TF/s,
+matmul 45 TF/s, HBM 147 GB/s — see .claude/skills/verify/SKILL.md #10),
+so the measured 578 ms whole-volume pass is ~36 TF/s — at or above the
+chip's measured conv roofline already. Use this script to confirm the
+split stays conv-bound (encoders+decoders >> heads+postprocess) and to
+catch regressions, not to chase nominal-peak utilization.
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=220)
+    ap.add_argument("--f_maps", type=int, default=64)
+    ap.add_argument("--levels", type=int, default=6)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the axon sitecustomize "
+                         "pins JAX_PLATFORMS=axon; env overrides are "
+                         "ignored, only jax.config works)")
+    ap.add_argument("--trace", default=None,
+                    help="directory for a jax.profiler trace of one rep")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+    from brainfm_tpu.config import AttrDict
+    from brainfm_tpu.infer.api import Inferencer
+
+    cfg = AttrDict.from_nested({
+        "task": {"T1": True, "T2": True, "FLAIR": True, "CT": True,
+                 "segmentation": True, "distance": True,
+                 "registration": True, "bias_field": True},
+        "generator": {"left_hemis_only": False, "size": [160, 160, 160]},
+        "losses": {"uncertainty": None},
+        "backbone": "unet3d", "f_maps": args.f_maps,
+        "num_levels": args.levels, "num_groups": 8,
+        "layer_order": "gcl", "unit_feat": False, "task_f_maps": [64],
+        "max_surf_distance": 3.0,
+    })
+    t0 = time.time()
+    inf = Inferencer(cfg, ckpt_path=None, compute_dtype=jnp.bfloat16,
+                     exact=False)
+    print(f"# init: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    s = args.size
+    vol = jnp.asarray(np.random.default_rng(0).random((s, s, s)), jnp.float32)
+    x = vol[None, ..., None]
+
+    def fence(out):
+        leaf = jax.tree.leaves(out)[0]
+        return np.asarray(leaf.reshape(-1)[0])
+
+    def bench(name, fn, *fargs):
+        out = fn(*fargs)
+        fence(out)  # compile + warm
+        t0 = time.time()
+        for _ in range(args.reps):
+            out = fn(*fargs)
+            fence(out)
+        dt = (time.time() - t0) / args.reps * 1e3
+        print(f"{name:<28s} {dt:9.1f} ms")
+        return dt
+
+    model, params = inf.model, inf.params
+
+    # 1. encoder tower only (everything else dead-coded: return the
+    # bottleneck's corner so XLA keeps the whole tower but no decoder)
+    @jax.jit
+    def enc_only(p, x):
+        feats = model.apply(p, x, method=lambda m, x: m.backbone.encoders(x))
+        return [f[:1, :1, :1, :1, :1] for f in feats]
+
+    # 2. full backbone (encoders + decoders), heads dead-coded
+    @jax.jit
+    def backbone_only(p, x):
+        feats = model.apply(
+            p, x, method=lambda m, x: m.backbone.get_feature(x))
+        return feats[-1][:1, :1, :1, :1, :1]
+
+    # 3. backbone + final decoder level materialized (is the final-level
+    # output write/keep itself expensive?)
+    @jax.jit
+    def backbone_full_out(p, x):
+        feats = model.apply(
+            p, x, method=lambda m, x: m.backbone.get_feature(x))
+        return feats[-1]
+
+    enc = bench("encoders (dead-coded out)", enc_only, params, x)
+    bb = bench("backbone (corner out)", backbone_only, params, x)
+    bbf = bench("backbone (full final out)", backbone_full_out, params, x)
+    full = bench("forward+heads+processors",
+                 lambda p, v: inf._jitted(p, v, keep_feat=False), params, x)
+    out = inf._jitted(params, x, keep_feat=False)
+    post = bench("postprocess", inf._jitted_post, out, x)
+
+    print(f"{'decoders (bb - enc)':<28s} {bb-enc:9.1f} ms")
+    print(f"{'heads+proc (full - bb_out)':<28s} {full-bbf:9.1f} ms")
+    print(f"{'total fwd+post':<28s} {full+post:9.1f} ms")
+
+    if args.trace:
+        import jax.profiler as jp
+
+        with jp.trace(args.trace):
+            fence(inf._jitted(params, x, keep_feat=False))
+        print(f"# trace written to {args.trace}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
+    # The axon relay's native thread is non-daemon; normal interpreter
+    # exit can hang after TPU work.
+    import os
+    os._exit(0)
