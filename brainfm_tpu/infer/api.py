@@ -179,8 +179,11 @@ class Inferencer:
             shape = dict(self.mesh.shape)
             data = "data" if shape.get("data", 1) > 1 else None
             space = "space" if shape.get("space", 1) > 1 else None
-            if data:
-                assert x.shape[0] % shape["data"] == 0, (x.shape, shape)
+            if data and x.shape[0] % shape["data"] != 0:
+                raise ValueError(
+                    f"batch of {x.shape[0]} volumes cannot shard over the "
+                    f"mesh 'data' axis of size {shape['data']} — pass a "
+                    f"multiple (evaluate_path pads its groups for you)")
             x = jax.device_put(x, NamedSharding(self.mesh, P(data, space)))
             self._replicate_params_on_mesh()
             ctx = jax.sharding.set_mesh(self.mesh)
@@ -250,6 +253,12 @@ class Inferencer:
                if k not in exclude_keys and k != "feat"}
         return jax.device_get(sel)
 
+    def _out_dir(self, save_dir, path):
+        """Per-input output directory: save_dir/<basename without .nii*>.
+        Single definition — the serial and batched pipelines must write
+        the same input to the same place."""
+        return os.path.join(save_dir, os.path.basename(path).split(".nii")[0])
+
     def _write_outputs(self, host, aff, out_dir, ext):
         """gz-encode host arrays to NIfTI on a small thread pool."""
         from concurrent.futures import ThreadPoolExecutor
@@ -272,12 +281,21 @@ class Inferencer:
         test_utils.py:354-405).
 
         `batch_size` > 1 serves volume GROUPS through evaluate_batch —
-        one whole volume per mesh data-rank per dispatch (requires an
-        Inferencer mesh with a 'data' axis for the HBM to make sense;
-        the last partial group is padded by repetition and the extra
-        outputs dropped). Decode of group n+1 and NIfTI writes of group
-        n-1 overlap compute of group n, same as the single-volume
-        pipeline.
+        one whole volume per mesh data-rank per dispatch (an Inferencer
+        mesh with a 'data' axis is what makes the HBM math work).
+        Volumes whose post-prepare shapes differ (files smaller than
+        win_size pass through center_crop uncropped) are bucketed by
+        shape within each group and each bucket is batched separately —
+        mixed-size inputs serve correctly, they just share fewer
+        dispatches. Partial buckets are padded by repetition to the mesh
+        data-axis multiple (or to the full batch_size when that
+        executable is already compiled this run — on the remote-compile
+        relay a fresh graph costs minutes, a duplicate forward ~0.6 s)
+        and the extra outputs dropped. With `prefetch` (default), decode
+        of group n+1 and NIfTI writes of group n-1 overlap compute of
+        group n, same as the single-volume pipeline; prefetch=False runs
+        load -> compute -> write strictly serially (group members still
+        decode on parallel threads).
 
         Serving throughput: with `prefetch` (default) the pipeline is
         double-buffered — volume n+1 decodes/resamples on a host thread
@@ -295,12 +313,11 @@ class Inferencer:
         if batch_size > 1 and input_paths:
             return self._evaluate_path_batched(
                 input_paths, save_dir, win_size, exclude_keys, ext,
-                save_input, batch_size)
+                save_input, batch_size, prefetch)
         if not prefetch or len(input_paths) <= 1:
             for p in input_paths:
                 im, aff, _, _ = prepare_image(p, list(win_size))
-                out_dir = os.path.join(save_dir,
-                                       os.path.basename(p).split(".nii")[0])
+                out_dir = self._out_dir(save_dir, p)
                 os.makedirs(out_dir, exist_ok=True)
                 if save_input:
                     viewVolume(np.asarray(im), aff, names=["input"], ext=ext,
@@ -322,8 +339,7 @@ class Inferencer:
                     if i + 1 < len(input_paths):
                         load = ex.submit(prepare_image, input_paths[i + 1],
                                          list(win_size))
-                    out_dir = os.path.join(
-                        save_dir, os.path.basename(p).split(".nii")[0])
+                    out_dir = self._out_dir(save_dir, p)
                     os.makedirs(out_dir, exist_ok=True)
                     if save_input:
                         viewVolume(np.asarray(im), aff, names=["input"],
@@ -348,12 +364,62 @@ class Inferencer:
         return results
 
     def _evaluate_path_batched(self, input_paths, save_dir, win_size,
-                               exclude_keys, ext, save_input, batch_size):
+                               exclude_keys, ext, save_input, batch_size,
+                               prefetch=True):
         """Group-batched serving pipeline (see evaluate_path batch_size)."""
         from concurrent.futures import ThreadPoolExecutor
 
+        data_n = 1
+        if self.mesh is not None:
+            data_n = dict(self.mesh.shape).get("data", 1)
+
         groups = [input_paths[i:i + batch_size]
                   for i in range(0, len(input_paths), batch_size)]
+        # shapes already run at B=batch_size this call: a partial bucket
+        # of such a shape pads up to batch_size to REUSE the compiled
+        # executable instead of compiling a fresh smaller-B graph
+        compiled_full = set()
+
+        def compute_group(g, loaded):
+            """Bucket the group's volumes by shape (center_crop passes
+            volumes smaller than win_size through uncropped, so shapes
+            can differ), run one batched dispatch per bucket, and return
+            per-input host outputs in input order. Buckets run strictly
+            sequentially so only ONE output set is ever device-resident
+            (the single-chip HBM headroom, see evaluate_path)."""
+            buckets: dict = {}
+            for pos, (im, aff, _, _) in enumerate(loaded):
+                buckets.setdefault(tuple(im.shape), []).append((pos, im))
+            out_host = [None] * len(g)
+            for shp, members in buckets.items():
+                vols = [im for _, im in members]
+                n_real = len(vols)
+                pad_to = -(-n_real // data_n) * data_n
+                if n_real == batch_size:
+                    compiled_full.add(shp)
+                elif shp in compiled_full:
+                    pad_to = batch_size
+                while len(vols) < pad_to:
+                    vols.append(vols[-1])
+                x = jnp.stack([jnp.asarray(v) for v in vols])[..., None]
+                outs = self.evaluate_batch(x)  # async dispatch
+                host = self._fetch_outputs(outs, exclude_keys)
+                for i, (pos, _) in enumerate(members):
+                    out_host[pos] = {k: v[i:i + 1] for k, v in host.items()}
+            return out_host
+
+        def write_group(host_list, g, affs):
+            for p, aff, one in zip(g, affs, host_list):
+                out_dir = self._out_dir(save_dir, p)
+                os.makedirs(out_dir, exist_ok=True)
+                self._write_outputs(one, aff, out_dir, ext)
+
+        def save_inputs(g, loaded):
+            for p, (im, aff, _, _) in zip(g, loaded):
+                out_dir = self._out_dir(save_dir, p)
+                os.makedirs(out_dir, exist_ok=True)
+                viewVolume(np.asarray(im), aff, names=["input"], ext=ext,
+                           save_dir=out_dir)
 
         results = []
         # decode pool: one worker per group member; wr carries the group
@@ -365,13 +431,17 @@ class Inferencer:
                 return list(dec.map(
                     lambda p: prepare_image(p, list(win_size)), g))
 
-            def write_group(host, items):
-                for i, (p, aff) in enumerate(items):
-                    out_dir = os.path.join(
-                        save_dir, os.path.basename(p).split(".nii")[0])
-                    os.makedirs(out_dir, exist_ok=True)
-                    one = {k: v[i:i + 1] for k, v in host.items()}
-                    self._write_outputs(one, aff, out_dir, ext)
+            if not prefetch:
+                # strictly serial: load -> compute -> write, one group at
+                # a time; bounds host memory to a single decoded group
+                for g in groups:
+                    loaded = load_group(g)
+                    if save_input:
+                        save_inputs(g, loaded)
+                    affs = [aff for _, aff, _, _ in loaded]
+                    write_group(compute_group(g, loaded), g, affs)
+                    results.extend(self._out_dir(save_dir, p) for p in g)
+                return results
 
             # the group loader runs on the WRITER pool (not dec): a
             # dec.map scheduled from inside a dec worker would deadlock
@@ -383,34 +453,17 @@ class Inferencer:
                     loaded = load.result()
                     if gi + 1 < len(groups):
                         load = wr.submit(load_group, groups[gi + 1])
-                    vols = [im for im, _, _, _ in loaded]
-                    affs = [aff for _, aff, _, _ in loaded]
                     if save_input:
-                        for p, im, aff in zip(g, vols, affs):
-                            out_dir = os.path.join(
-                                save_dir,
-                                os.path.basename(p).split(".nii")[0])
-                            os.makedirs(out_dir, exist_ok=True)
-                            viewVolume(np.asarray(im), aff, names=["input"],
-                                       ext=ext, save_dir=out_dir)
-                    # pad the tail group by repetition (the data-axis
-                    # sharding needs the full B); extras dropped below
-                    n_real = len(vols)
-                    while len(vols) < batch_size:
-                        vols.append(vols[-1])
-                    x = jnp.stack([jnp.asarray(v) for v in vols])[..., None]
-                    outs = self.evaluate_batch(x)  # async dispatch
-                    host = self._fetch_outputs(outs, exclude_keys)
-                    host = {k: v[:n_real] for k, v in host.items()}
+                        save_inputs(g, loaded)
+                    affs = [aff for _, aff, _, _ in loaded]
+                    host_list = compute_group(g, loaded)
                     if write is not None:
                         write.result()
-                    items = list(zip(g, affs))
-                    write = wr.submit(write_group, host, items)
-                    results.extend(
-                        os.path.join(save_dir,
-                                     os.path.basename(p).split(".nii")[0])
-                        for p in g)
+                    write = wr.submit(write_group, host_list, g, affs)
+                    results.extend(self._out_dir(save_dir, p) for p in g)
             finally:
+                # always surface the pending write's outcome (see the
+                # single-volume pipeline above)
                 if write is not None:
                     write.result()
         return results

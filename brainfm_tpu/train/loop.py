@@ -131,11 +131,14 @@ def train(cfg, model, weight_dict, loss_fn, bank, out_dir: str,
     in stream mode the dataset/modality roulette is drawn once per batch
     (ConcatStream.epoch_grouped) so a batch is one SPMD program.
 
-    `fsdp`: with a mesh, shard params AND optimizer state over the 'data'
-    axis (ZeRO/FSDP; parallel/fsdp.py) instead of replicating — per-device
-    state memory drops by the data-axis size, XLA all-gathers params on
-    use and reduce-scatters grads. Math identical to the replicated path
-    (fp64-exact, tests/test_fsdp.py).
+    `fsdp`: with a mesh (required — raises without one), shard params AND
+    optimizer state over the 'data' axis (ZeRO/FSDP; parallel/fsdp.py)
+    instead of replicating — per-device state memory drops by the
+    data-axis size, XLA all-gathers params on use and reduce-scatters
+    grads. Fresh starts build the state via init_sharded (each device
+    only ever holds its own shards); resume loads the checkpoint into a
+    replicated template first, then re-shards. Math identical to the
+    replicated path (fp64-exact, tests/test_fsdp.py).
 
     Validation + best checkpoint (parity: best_val_stats carried in every
     checkpoint and the pre-save backup rename, scripts/train.py:173,196-214):
@@ -147,12 +150,29 @@ def train(cfg, model, weight_dict, loss_fn, bank, out_dir: str,
     scfg = SynthStatic.from_cfg(cfg)
     tasks = tuple(cfg.tasks)
 
+    if fsdp and mesh is None:
+        raise ValueError("fsdp=True requires a mesh with a 'data' axis — "
+                         "without one the state would silently stay "
+                         "single-device fully replicated")
     optimizer = build_optimizer(cfg)
     size = tuple(cfg.generator.size)
     x0 = jnp.zeros((scfg.all_samples, *size, 1), jnp.float32)
-    params = jax.jit(model.init)(jax.random.PRNGKey(seed), x0)
-    state = TrainState(params, optimizer.init(params),
-                       jnp.zeros((), jnp.int32))
+
+    def _make_state(rng, x):
+        p = model.init(rng, x)
+        return TrainState(p, optimizer.init(p), jnp.zeros((), jnp.int32))
+
+    if fsdp and not resume:
+        # fresh FSDP start: jit state construction with out-shardings so
+        # each device only ever holds its own shards — the full params +
+        # Adam moments never materialize on one chip (the whole point
+        # when the state exceeds single-chip HBM). Resume instead loads
+        # into the replicated template below, then re-shards.
+        from ..parallel.fsdp import init_sharded
+
+        state = init_sharded(_make_state, mesh, jax.random.PRNGKey(seed), x0)
+    else:
+        state = jax.jit(_make_state)(jax.random.PRNGKey(seed), x0)
     start_epoch = 0
     best_val_stats = None
     if resume:
@@ -188,6 +208,8 @@ def train(cfg, model, weight_dict, loss_fn, bank, out_dir: str,
         if fsdp:
             from ..parallel.fsdp import shard_state
 
+            # no-op for a fresh init_sharded state (shardings already
+            # match); re-shards the replicated template after a resume
             state = shard_state(state, mesh)
         else:
             state = jax.tree.map(lambda a: jax.device_put(a, repl), state)

@@ -89,6 +89,10 @@ def main():
                          "the data axis (ZeRO; parallel/fsdp.py) instead of "
                          "replicating")
     args = ap.parse_args()
+    if args.fsdp and not args.mesh:
+        ap.error("--fsdp requires --mesh (state shards over the mesh "
+                 "'data' axis; without a mesh it would silently stay "
+                 "replicated)")
 
     if args.mesh:
         # must run before ANY backend-touching call (build_datasets puts

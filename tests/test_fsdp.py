@@ -144,6 +144,19 @@ def test_init_sharded_matches_device_put():
         assert a.sharding.spec == sh.spec, (a.sharding.spec, sh.spec)
 
 
+def test_train_fsdp_requires_mesh(tmp_path):
+    """fsdp=True without a mesh must raise, not silently train a fully
+    replicated single-device state (scripts/train.py --fsdp sans --mesh)."""
+    from brainfm_tpu.train.loop import train
+
+    cfg = _cfg((16, 16, 16))
+    cfg2, model = build_model(cfg)
+    _, weight_dict, loss_fn = make_criterion(cfg2)
+    with pytest.raises(ValueError, match="fsdp"):
+        train(cfg2, model, weight_dict, loss_fn, None, str(tmp_path / "r"),
+              itr_per_epoch=1, fsdp=True)
+
+
 @pytest.mark.slow
 def test_train_loop_fsdp_smoke(tmp_path):
     """The training loop runs end to end with fsdp=True on a data x space

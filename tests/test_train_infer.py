@@ -246,6 +246,52 @@ def test_evaluate_path_prefetch_matches_serial(tmp_path):
                                        err_msg=f)
 
 
+def test_evaluate_path_batched_mixed_shapes(tmp_path):
+    """Batched serving over volumes whose post-prepare shapes DIFFER
+    (center_crop passes files smaller than win_size through uncropped):
+    each group is bucketed by shape and every input must still match the
+    serial path. Also covers prefetch=False in the batched pipeline
+    (strictly serial load->compute->write)."""
+    from brainfm_tpu.config import AttrDict
+    from brainfm_tpu.infer.api import Inferencer
+    from brainfm_tpu.utils.nifti import load_nifti, save_nifti
+
+    cfg = dict(
+        task={"T1": True, "segmentation": True},
+        generator={"left_hemis_only": False, "size": [32, 32, 32]},
+        losses={"uncertainty": None},
+        backbone="unet3d", f_maps=8, num_levels=3, num_groups=8,
+        layer_order="gcl", unit_feat=False, task_f_maps=[8],
+        label_list_segmentation_with_csf=[0, 14, 15, 16, 24, 77, 85],
+    )
+    rng = np.random.default_rng(5)
+    # 24^3 (< win, kept), 40^3 (cropped to 32^3), 24^3 — group 0 of the
+    # batch_size=2 plan is heterogeneous, the tail group is a singleton
+    paths = []
+    for i, side in enumerate((24, 40, 24)):
+        p = str(tmp_path / f"vol{i}.nii.gz")
+        save_nifti(p, rng.random((side,) * 3, dtype=np.float32), np.eye(4))
+        paths.append(p)
+
+    inf = Inferencer(AttrDict.from_nested(cfg))
+    d_ser = inf.evaluate_path(paths, str(tmp_path / "serial"),
+                              win_size=(32, 32, 32), prefetch=False)
+    for tag, pf in (("batched", True), ("batched_nopf", False)):
+        d_bat = inf.evaluate_path(paths, str(tmp_path / tag),
+                                  win_size=(32, 32, 32), batch_size=2,
+                                  prefetch=pf)
+        assert len(d_bat) == 3
+        for a, b in zip(d_ser, d_bat):
+            fa = sorted(os.listdir(a))
+            fb = sorted(os.listdir(b))
+            assert fa == fb and fa, (fa, fb)
+            for f in fa:
+                va, _ = load_nifti(os.path.join(a, f))
+                vb, _ = load_nifti(os.path.join(b, f))
+                np.testing.assert_allclose(va, vb, rtol=2e-5, atol=2e-5,
+                                           err_msg=f"{tag}/{f}")
+
+
 def test_inferencer_mesh_sharded_matches_single():
     """Multi-chip whole-volume inference: Inferencer(mesh=) shards the
     volume depth-wise over the mesh 'space' axis (GSPMD exact halo
