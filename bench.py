@@ -23,6 +23,14 @@ import jax
 import jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+# log WHY any graph misses the persistent cache (the r2 driver run burned
+# 412 s recompiling the whole-volume graph despite 49 MB of cache entries —
+# the miss reason is the diagnostic we were missing)
+try:
+    jax.config.update("jax_explain_cache_misses", True)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+except Exception:
+    pass
 
 T_START = time.time()
 
@@ -162,36 +170,52 @@ def main():
     print(f"# whole-volume inference: {dt*1e3:.0f} ms / 220^3 volume "
           f"(single dispatch, bf16, keep_feat=False)", file=sys.stderr)
 
-    # secondary: the tiled sliding-window path (the >HBM fallback and the
-    # reference's demo_test.py:126 plan: 8x160^3 windows, stride 80).
-    # fp32 canvas = reference-parity blending default; bf16 = speed mode
+    # secondaries in NORTH-STAR PRIORITY ORDER (VERDICT r2 #2: one driver
+    # run must carry whole-volume, tiled fp32-parity, generator samples/s
+    # and the train step): tiled fp32 -> generator -> train step -> tiled
+    # bf16 speed mode last (optional extra). Each stage gates on remaining
+    # budget and logs what it skipped.
     import gc
 
-    for accum, tag in ((jnp.bfloat16, "bf16 blend"),
-                       (jnp.float32, "fp32-parity blend")):
-        if time.time() - T_START > budget:
-            print("# tiled benches skipped (budget)", file=sys.stderr)
-            break
+    def stage_ok(name):
+        left = budget - (time.time() - T_START)
+        if left <= 0:
+            print(f"# {name} bench skipped (budget exhausted)",
+                  file=sys.stderr)
+            return False
+        print(f"# starting {name} bench ({left:.0f}s budget left)",
+              file=sys.stderr)
+        return True
+
+    # secondary: the tiled sliding-window path (the >HBM fallback and the
+    # reference's demo_test.py:126 plan: 8x160^3 windows, stride 80),
+    # fp32 canvas = reference-parity blending default
+    tiled_done = []
+    if stage_ok("tiled fp32-parity"):
         # release previous canvases first: ~70 output channels x 220^3
         # held in both precisions exceeds HBM
         del out, out2
         gc.collect()
         out = inf.evaluate_tiled(vol, stride=(80, 80, 80),
                                  win_size=(160, 160, 160),
-                                 run_postprocess=False, accum_dtype=accum)
+                                 run_postprocess=False,
+                                 accum_dtype=jnp.float32)
         sync(out)  # warmup/compile
         t0 = time.time()
         out2 = inf.evaluate_tiled(vol, stride=(80, 80, 80),
                                   win_size=(160, 160, 160),
-                                  run_postprocess=False, accum_dtype=accum)
+                                  run_postprocess=False,
+                                  accum_dtype=jnp.float32)
         sync(out2)
-        print(f"# tiled inference ({tag}): {(time.time()-t0)*1e3:.0f} ms "
-              f"/ 220^3 volume (8x160^3 tiles, stride-80 plan)",
-              file=sys.stderr)
+        print(f"# tiled inference (fp32-parity blend): "
+              f"{(time.time()-t0)*1e3:.0f} ms / 220^3 volume "
+              f"(8x160^3 tiles, stride-80 plan)", file=sys.stderr)
+        del out, out2
+        gc.collect()
+        tiled_done.append("fp32")
 
-    # secondary: generator throughput
-    if time.time() - T_START > budget:
-        print("# secondary benches skipped (budget)", file=sys.stderr)
+    # secondary: generator throughput (north-star metric #2, BASELINE.json)
+    if not stage_ok("generator"):
         return
     bank = SubjectBank(bank_shape=(192, 192, 192))
     bank.add_debug_subject(seed=0, extent=(180, 180, 180))
@@ -215,15 +239,12 @@ def main():
     # the 160^3 flagship crop fails single-chip compile (OOM) even with
     # remat — it trains spatially sharded across the mesh 'space' axis,
     # see parallel/spatial.py + tests/test_flagship_l6.py)
-    if time.time() - T_START > budget:
-        print("# train-step bench skipped (budget)", file=sys.stderr)
+    if not stage_ok("train-step"):
         return
     try:
-        import gc
-
-        # release the inference model/canvases and subject bank before
-        # allocating the training state — they don't fit HBM together
-        del inf, out, out2, bank, subj, _t, _s
+        # release the inference model and subject bank before allocating
+        # the training state — they don't fit HBM together
+        del inf, bank, subj, _t, _s
         gc.collect()
         from brainfm_tpu.models import build_model
         from brainfm_tpu.models.criterion import make_criterion
@@ -282,6 +303,9 @@ def main():
     except Exception as e:
         print(f"# train step bench skipped: {type(e).__name__}",
               file=sys.stderr)
+    print(f"# bench complete in {time.time()-T_START:.0f}s "
+          f"(stages: whole-volume, tiled={tiled_done or 'skipped'}, "
+          "generator, train-step)", file=sys.stderr)
 
 if __name__ == "__main__":
     main()

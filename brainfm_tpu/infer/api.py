@@ -399,6 +399,15 @@ class Inferencer:
                     compiled_full.add(shp)
                 elif shp in compiled_full:
                     pad_to = batch_size
+                if pad_to > n_real:
+                    # partial tail bucket: padded dispatch recomputes the
+                    # last volume pad_to-n_real extra times (compile reuse
+                    # beats a fresh smaller-B graph) — say so, don't let a
+                    # 1-volume tail on an 8-rank mesh look free
+                    print(f"evaluate_path: padding {n_real} volume(s) of "
+                          f"shape {shp} to a batch of {pad_to} "
+                          f"({pad_to - n_real} redundant recompute(s); "
+                          "reusing the compiled executable)")
                 while len(vols) < pad_to:
                     vols.append(vols[-1])
                 x = jnp.stack([jnp.asarray(v) for v in vols])[..., None]

@@ -8,6 +8,7 @@ here samples ride the batch axis and one jitted apply covers them all.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict
 
 import jax
@@ -221,6 +222,62 @@ def build_pathol_critic(compute_dtype=jnp.float32, f_maps: int = 64,
                       num_groups=min(8, f_maps), compute_dtype=compute_dtype)
     head = TaskHead((f_maps,), {"pathology": 1}, compute_dtype=compute_dtype)
     return Joiner(backbone, head)
+
+
+def build_critic_from_cfg(cfg, compute_dtype=jnp.float32, seed: int = 7):
+    """Config-driven frozen implicit-pathology critic (parity: PatholSeg
+    is built inside get_processors when train_args.losses.implicit_pathol
+    is on — joiner.py:90-113, :243 — and runs every training iteration,
+    engine.py:115).
+
+    Returns (critic, critic_params, image_key); (None, None, None) when
+    the losses.implicit_pathol flag is off. Weights come from
+    cfg.supervised_pathol_seg_ckp_path (the reference key; a torch .pth
+    imported with fuzzy alignment, or a single path string). When the key
+    is unset or the file is absent, a fixed-seed random init is used with
+    a loud warning — enough for smoke/tests, NOT a trained critic.
+    `image_key` is the image task the critic scores (the reference scores
+    the sample's synthesized 'image'; here the first image task present)."""
+    losses = cfg.losses if getattr(cfg, "losses", None) else None
+    if not (losses and losses.get("implicit_pathol")):
+        return None, None, None
+    image_key = next((t for t in ("T1", "T2", "FLAIR", "CT")
+                      if t in cfg.tasks), None)
+    if image_key is None:
+        raise ValueError("losses.implicit_pathol requires an image task "
+                         "(T1/T2/FLAIR/CT) for the critic to score")
+    # reference critic geometry is UNet3D f64 L5 (build_pathol_model,
+    # joiner.py:33-41); overridable for tests/smoke runs
+    critic = build_pathol_critic(
+        compute_dtype=compute_dtype,
+        f_maps=int(cfg.get("critic_f_maps") or 64),
+        num_levels=int(cfg.get("critic_num_levels") or 5))
+    size = tuple(cfg.generator.size)
+    x0 = jnp.zeros((1, *size, 1), jnp.float32)
+    params = jax.jit(critic.init)(jax.random.PRNGKey(seed), x0)
+
+    ckp = cfg.get("supervised_pathol_seg_ckp_path") if hasattr(cfg, "get") \
+        else None
+    path = None
+    if ckp is not None:
+        # reference schema: {'feat': ..., 'task': ...} torch checkpoints;
+        # our Joiner critic loads both through one fuzzy alignment pass
+        paths = [ckp] if isinstance(ckp, str) else \
+            [p for p in (ckp.get("feat"), ckp.get("task")) if p]
+        path = [p for p in paths if os.path.isfile(str(p))]
+    if path:
+        from .torch_import import import_checkpoint_aligned
+
+        for p in path:
+            params = import_checkpoint_aligned(str(p), params)
+    else:
+        import warnings
+
+        warnings.warn(
+            "implicit_pathol is on but no supervised_pathol_seg_ckp_path "
+            "checkpoint was found — the critic runs with RANDOM weights "
+            "(fine for smoke tests, meaningless as supervision)")
+    return critic, params, image_key
 
 
 def implicit_pathol_outputs(critic, critic_params, outputs, targets,

@@ -47,6 +47,12 @@ def _load():
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int64]
     lib.volcodec_decode_one.restype = ctypes.c_int
+    lib.volcodec_decode_batch_ex.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int64)]
+    lib.volcodec_decode_batch_ex.restype = ctypes.c_int
     _LIB = lib
     return lib
 
@@ -89,3 +95,53 @@ class VolCodec:
             bad = [(paths[i], status[i]) for i in range(n) if status[i] != 0]
             raise IOError(f"volcodec decode failures: {bad}")
         return arena
+
+    def decode_batch_with_shapes(self, paths):
+        """Batch-decode `paths` into (N, *bank_shape) float32 plus each
+        file's NATIVE (pre-pad) 3-D extent — what SubjectBank needs to
+        validate grids and record the effective extent. Files the native
+        codec can't take (non-NIfTI suffix, multi-frame, unsupported dtype)
+        fall back to the Python reader per file; a hard read failure still
+        raises. Returns (arena, shapes: list[tuple[int, int, int]],
+        extras: {i: full ndarray} for files with trailing dims beyond 3-D —
+        those keep their frames (arena row i is then unused), matching the
+        Python ingest path's trailing-dim-preserving `_pad`)."""
+        from ..utils.nifti import load_nifti
+
+        n = len(paths)
+        arena = np.zeros((n, *self.bank_shape), np.float32)
+        shapes: list = [None] * n
+        extras: dict = {}
+        fallback = list(range(n))
+        if self.lib is not None:
+            nii = [i for i, p in enumerate(paths)
+                   if p.endswith((".nii", ".nii.gz"))]
+            if nii:
+                c_paths = (ctypes.c_char_p * len(nii))(
+                    *[paths[i].encode() for i in nii])
+                status = (ctypes.c_int * len(nii))()
+                dims = np.zeros((len(nii), 4), np.int64)
+                sub = np.zeros((len(nii), *self.bank_shape), np.float32)
+                self.lib.volcodec_decode_batch_ex(
+                    c_paths, len(nii),
+                    sub.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                    *self.bank_shape, status,
+                    dims.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+                ok = []
+                for j, i in enumerate(nii):
+                    if status[j] == 0:
+                        arena[i] = sub[j]
+                        shapes[i] = tuple(int(d) for d in dims[j, :3])
+                        ok.append(i)
+                fallback = [i for i in range(n) if i not in set(ok)]
+        for i in fallback:
+            vol, _ = load_nifti(paths[i])
+            vol = np.asarray(vol, np.float32)
+            shapes[i] = tuple(int(s) for s in vol.shape[:3])
+            if vol.ndim > 3:
+                extras[i] = vol
+                continue
+            sl = tuple(slice(0, min(a, b))
+                       for a, b in zip(vol.shape[:3], self.bank_shape))
+            arena[i][sl] = vol[sl]
+        return arena, shapes, extras

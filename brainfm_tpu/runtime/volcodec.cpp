@@ -30,6 +30,7 @@ namespace {
 
 struct NiftiInfo {
   int64_t dim[3];
+  int64_t nframes;  // product of dims beyond the first 3 (1 for plain 3-D)
   int datatype;
   int bitpix;
   int64_t vox_offset;
@@ -96,11 +97,24 @@ bool parse_header(const uint8_t* h, size_t n, NiftiInfo* info) {
   if (ndim < 3) return false;
   for (int d = 0; d < 3; ++d)
     info->dim[d] = load_le<int16_t>(h + 42 + 2 * d, le);
+  info->nframes = 1;
+  for (int d = 3; d < ndim && d < 7; ++d) {
+    int16_t v = load_le<int16_t>(h + 42 + 2 * d, le);
+    if (v > 1) info->nframes *= v;
+  }
   info->datatype = load_le<int16_t>(h + 70, le);
   info->bitpix = load_le<int16_t>(h + 72, le);
   info->vox_offset = static_cast<int64_t>(load_le<float>(h + 108, le));
   info->scl_slope = load_le<float>(h + 112, le);
   info->scl_inter = load_le<float>(h + 116, le);
+  // NaN/Inf slope or inter mean "no scaling" (nibabel convention; parity
+  // with utils/nifti._read_nifti)
+  if (!(info->scl_slope == info->scl_slope) ||
+      info->scl_slope > 3.4e38f || info->scl_slope < -3.4e38f)
+    info->scl_slope = 0.0f;
+  if (!(info->scl_inter == info->scl_inter) ||
+      info->scl_inter > 3.4e38f || info->scl_inter < -3.4e38f)
+    info->scl_inter = 0.0f;
   return true;
 }
 
@@ -138,8 +152,12 @@ void convert_pad(const uint8_t* src, bool le, const int64_t in_dim[3],
             const SRC* row = plane + z * iy * ix;
             float* ocol = oplane + z;
             if (scale) {
+              // double math: the Python reader scales in float64 then
+              // downcasts — bit-parity requires the same rounding here
               for (int64_t x = x0; x < x1; ++x)
-                ocol[x * ostride] = static_cast<float>(row[x]) * s + inter;
+                ocol[x * ostride] = static_cast<float>(
+                    static_cast<double>(row[x]) * static_cast<double>(s) +
+                    static_cast<double>(inter));
             } else {
               for (int64_t x = x0; x < x1; ++x)
                 ocol[x * ostride] = static_cast<float>(row[x]);
@@ -156,7 +174,10 @@ void convert_pad(const uint8_t* src, bool le, const int64_t in_dim[3],
       for (int64_t x = 0; x < cx; ++x) {
         SRC v = load_le<SRC>(row + sizeof(SRC) * x, le);
         float fv = static_cast<float>(v);
-        if (scale) fv = fv * s + inter;
+        if (scale)
+          fv = static_cast<float>(static_cast<double>(v) *
+                                      static_cast<double>(s) +
+                                  static_cast<double>(inter));
         dst[(x * oy + y) * oz + z] = fv;
       }
     }
@@ -217,7 +238,8 @@ struct Pool {
 
 Pool* g_pool = nullptr;
 
-int decode_one(const char* path, float* dst, const int64_t out_dim[3]) {
+int decode_one(const char* path, float* dst, const int64_t out_dim[3],
+               int64_t* dims_out = nullptr) {
   std::vector<uint8_t> raw;
   if (!read_file(path, raw)) return -1;
   std::vector<uint8_t> buf;
@@ -233,6 +255,15 @@ int decode_one(const char* path, float* dst, const int64_t out_dim[3]) {
   }
   NiftiInfo info;
   if (!parse_header(data, n, &info)) return -3;
+  if (dims_out) {
+    dims_out[0] = info.dim[0];
+    dims_out[1] = info.dim[1];
+    dims_out[2] = info.dim[2];
+    dims_out[3] = info.nframes;
+  }
+  // multi-frame volumes keep their trailing dims on the Python path —
+  // report and let the caller fall back rather than silently taking frame 0
+  if (info.nframes > 1) return -6;
   const uint8_t* vox = data + info.vox_offset;
   size_t need = static_cast<size_t>(info.dim[0]) * info.dim[1] * info.dim[2] *
                 (info.bitpix / 8);
@@ -300,6 +331,30 @@ int volcodec_decode_one(const char* path, float* dst, int64_t dx, int64_t dy,
                         int64_t dz) {
   const int64_t out_dim[3] = {dx, dy, dz};
   return decode_one(path, dst, out_dim);
+}
+
+// decode_batch + per-file native dims: dims is int64[count*4] receiving
+// (dx, dy, dz, nframes) per file. Multi-frame files (nframes > 1) are NOT
+// decoded — their status is -6 and the caller falls back to the Python
+// reader, which preserves trailing dims. Unlike volcodec_decode_batch this
+// never fails the whole batch: per-file status tells the caller which
+// files need the fallback.
+int volcodec_decode_batch_ex(const char** paths, int count, float* arena,
+                             int64_t dx, int64_t dy, int64_t dz, int* status,
+                             int64_t* dims) {
+  if (!g_pool) volcodec_init(0);
+  const int64_t out_dim[3] = {dx, dy, dz};
+  const int64_t voxels = dx * dy * dz;
+  for (int i = 0; i < count; ++i) {
+    const char* p = paths[i];
+    float* dst = arena + static_cast<int64_t>(i) * voxels;
+    int* st = status + i;
+    int64_t* dm = dims + static_cast<int64_t>(i) * 4;
+    g_pool->submit(
+        [p, dst, out_dim, st, dm] { *st = decode_one(p, dst, out_dim, dm); });
+  }
+  g_pool->wait();
+  return 0;
 }
 
 }  // extern "C"

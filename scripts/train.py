@@ -42,6 +42,7 @@ def build_bank(cfg, bank_shape=(192, 192, 192)):
                 return p
         return None
 
+    subj_paths = []
     for t1 in t1s:
         base = t1.split(".T1w.nii")[0]
         paths = {"T1": t1}
@@ -59,7 +60,10 @@ def build_bank(cfg, bank_shape=(192, 192, 192)):
         reg = [find(base, f".mni_reg.{a}") for a in ("x", "y", "z")]
         if all(reg):
             paths["reg"] = reg
-        bank.add_from_files(paths)
+        subj_paths.append(paths)
+    if subj_paths:
+        # batched parallel ingest through the native codec (volcodec.cpp)
+        bank.add_many(subj_paths)
     if len(bank) == 0:
         print("NOTE: no dataset found under", root,
               "- using procedural debug subjects")
@@ -118,7 +122,20 @@ def main():
     if args.debug:
         train_cfg.n_epochs = 1
 
-    cfg, model = build_model(train_cfg)
+    # 'a+b' backbones (twostage.yaml) train two-stage: stage-0 pathology
+    # predictor -> masked, mask-conditioned stage-1 task model (parity:
+    # build_inpaint_model Trainer/models/__init__.py:441 +
+    # train_one_epoch_twostage engine.py:193-318 — which the reference
+    # defines but never drives from its own train.py; see PARITY.md)
+    twostage_models = None
+    if "+" in str(train_cfg.get("backbone") or ""):
+        from brainfm_tpu.models.build import build_inpaint_model
+
+        cfg, pathol_model, task_model = build_inpaint_model(train_cfg)
+        twostage_models = (pathol_model, task_model)
+        model = None
+    else:
+        cfg, model = build_model(train_cfg)
     _, weight_dict, loss_fn = make_criterion(cfg)
 
     out_dir = args.out_dir or update_out_dir(cfg).out_dir
@@ -140,36 +157,41 @@ def main():
                          space=parts[1] if len(parts) > 1 else 1)
     itr = 2 if args.debug else args.itr_per_epoch
     batch_items = args.batch_items or int(cfg.get("batch_size") or 1)
+    if (args.eval_only or cfg.get("eval_only")) and twostage_models:
+        ap.error("--eval_only is not wired for two-stage configs — use "
+                 "infer.api.TwoStageInferencer / scripts/demo_test.py")
     if args.eval_only or cfg.get("eval_only"):
         # (parity: the eval_only short-circuit, scripts/train.py:176-183):
         # restore and score the fixed-seed val set, no training
         cfg.n_epochs = 0
-        from brainfm_tpu.synth.engine import knobs_from_cfg
-        from brainfm_tpu.synth.params import SynthStatic
-        from brainfm_tpu.train.loop import make_eval_step, make_val_set
+        from brainfm_tpu.train.loop import make_eval_step, make_val_set_stream
 
-        scfg = SynthStatic.from_cfg(cfg)
-        d0 = datasets[stream.names[0]]
-        knobs = {"synth": knobs_from_cfg(cfg, scfg, "synth")}
-        # same seed/n_items/batch_items as train()'s val loop — the scores
-        # must be comparable to the checkpoint's recorded best_val_stats
-        vb = make_val_set(d0.bank, scfg, tuple(cfg.tasks), ("synth",),
-                          knobs, seed=0, n_items=2,
-                          batch_items=batch_items)
+        # same seed/n_items/batch_items as train()'s stream val loop — the
+        # scores must be comparable to the recorded best_val_stats
+        vb, vnames = make_val_set_stream(stream, seed=0, n_items=2,
+                                         batch_items=batch_items)
+        print("val set spans datasets:", sorted(set(vnames)))
         import jax.numpy as jnp
 
         from brainfm_tpu.infer.api import Inferencer
 
         inf = Inferencer(cfg, ckpt_path=args.resume)
-        ev = make_eval_step(model, cfg, weight_dict, loss_fn)
+        # mirror train()'s critic so eval scores stay comparable to the
+        # checkpoint's recorded best_val_stats
+        from brainfm_tpu.models.build import build_critic_from_cfg
+
+        critic, critic_params, ckey = build_critic_from_cfg(cfg)
+        ev = make_eval_step(model, cfg, weight_dict, loss_fn, critic=critic,
+                            critic_image_key=ckey or "T1")
         for i, b in enumerate(vb):
-            losses = ev(inf.params, b)
+            losses = ev(inf.params, b, critic_params)
             print(f"val[{i}]:",
                   {k: round(float(v), 4) for k, v in losses.items()})
         return
     state = train(cfg, model, weight_dict, loss_fn, None, out_dir,
                   itr_per_epoch=itr, resume=args.resume, stream=stream,
-                  mesh=mesh, batch_items=batch_items, fsdp=args.fsdp)
+                  mesh=mesh, batch_items=batch_items, fsdp=args.fsdp,
+                  twostage_models=twostage_models)
     print("training done; final step", int(state.step))
 
 

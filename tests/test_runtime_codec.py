@@ -88,3 +88,78 @@ def test_parallel_speedup_smoke(volumes):
     # native must not lose to the equal-work python path (headroom for
     # CI noise; on multi-core hosts the thread pool wins outright)
     assert native_t < py_t * 1.5
+
+
+def _fake_subject_files(d, sid, shape, rng, gz=True):
+    """One subject's file set: int labels, scalar images, dist/reg chans."""
+    from brainfm_tpu.utils.nifti import save_nifti
+
+    ext = ".nii.gz" if gz else ".nii"
+
+    def w(name, arr):
+        p = os.path.join(d, f"{sid}.{name}{ext}")
+        save_nifti(p, arr)
+        return p
+
+    gen = rng.integers(0, 20, shape).astype(np.int16)
+    t1 = (rng.random(shape) * 255).astype(np.float32)
+    paths = {
+        "gen": w("gen", gen),
+        "seg": w("seg", gen.astype(np.int32)),
+        "T1": w("T1", t1),
+        "dist": [w(f"dist{k}", rng.random(shape).astype(np.float32) * 20)
+                 for k in range(4)],
+        "reg": [w(f"reg{a}", rng.random(shape).astype(np.float32) * 1e4)
+                for a in range(3)],
+    }
+    return paths
+
+
+def test_bank_ingest_native_parity():
+    """VERDICT r2 #4: the codec is ROUTED — SubjectBank.add_many
+    batch-decodes through volcodec and must produce subjects bit-identical
+    to the per-file Python path (add_from_files), including dtypes,
+    channel stacking, padding, and the effective-extent record."""
+    from brainfm_tpu.synth.engine import SubjectBank
+
+    assert build_native()
+    d = tempfile.mkdtemp()
+    rng = np.random.default_rng(3)
+    subj_paths = [
+        _fake_subject_files(d, "s0", (30, 28, 26), rng, gz=True),
+        _fake_subject_files(d, "s1", (26, 30, 22), rng, gz=False),
+        # a subject LARGER than the bank shape: _pad must crop both paths
+        _fake_subject_files(d, "s2", (40, 40, 40), rng, gz=True),
+    ]
+    bank_native = SubjectBank(bank_shape=(32, 32, 32))
+    idxs = bank_native.add_many(subj_paths, ages=[None, 61.5, None])
+    assert idxs == [0, 1, 2]
+
+    bank_py = SubjectBank(bank_shape=(32, 32, 32))
+    for paths, age in zip(subj_paths, [None, 61.5, None]):
+        bank_py.add_from_files(paths, age=age)
+
+    assert len(bank_native) == len(bank_py) == 3
+    for sn, sp in zip(bank_native.subjects, bank_py.subjects):
+        assert set(sn) == set(sp)
+        for k in sp:
+            assert sn[k].dtype == sp[k].dtype, k
+            assert sn[k].shape == sp[k].shape, k
+            np.testing.assert_array_equal(sn[k], sp[k], err_msg=k)
+
+
+def test_bank_ingest_shape_mismatch_raises():
+    from brainfm_tpu.synth.engine import SubjectBank
+
+    d = tempfile.mkdtemp()
+    rng = np.random.default_rng(4)
+    paths = _fake_subject_files(d, "bad", (20, 20, 20), rng)
+    # swap in a T1 on a different grid
+    from brainfm_tpu.utils.nifti import save_nifti
+
+    p = os.path.join(d, "bad.T1_wrong.nii.gz")
+    save_nifti(p, rng.random((21, 20, 20)).astype(np.float32))
+    paths["T1"] = p
+    bank = SubjectBank(bank_shape=(32, 32, 32))
+    with pytest.raises(ValueError, match="share one native grid"):
+        bank.add_many([paths])
