@@ -1,0 +1,132 @@
+"""Chip roofline microbenchmarks: what THIS device actually delivers.
+
+Measures delivered bf16 matmul TF/s, 3-D conv TF/s at the flagship's
+dominant shapes, and elementwise HBM GB/s — the denominators for any
+honest MFU claim about the 220^3 L6 whole-volume forward (BASELINE.md).
+Nominal v5e peaks (197 TF/s bf16, 819 GB/s) are NOT what the relay chip
+delivers; utilization must be judged against these measured lines.
+
+Measurement discipline (see .claude/skills/verify/SKILL.md):
+- inputs threaded as jit ARGUMENTS (zero-arg closures constant-fold);
+- N iterations chained inside one jitted lax.scan (the per-dispatch relay
+  round-trip would otherwise dominate);
+- the only reliable fence is a dependent device->host transfer.
+
+    python scripts/roofline.py            # all three, on the default chip
+    python scripts/roofline.py --cpu      # smoke
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--chain", type=int, default=8,
+                    help="iterations chained inside one jitted scan")
+    ap.add_argument("--small", action="store_true",
+                    help="shrink shapes (CPU smoke)")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+    N = args.chain
+
+    def timed_chain(name, step, x0, flops=None, bytes_=None, reps=3):
+        """Time N chained `step` applications inside one jitted scan."""
+
+        @jax.jit
+        def run(x):
+            def body(c, _):
+                return step(c), ()
+
+            y, _ = lax.scan(body, x, None, length=N)
+            return y
+
+        y = run(x0)
+        np.asarray(jax.tree.leaves(y)[0].reshape(-1)[0])  # compile+warm
+        t0 = time.time()
+        for _ in range(reps):
+            y = run(x0)
+            np.asarray(jax.tree.leaves(y)[0].reshape(-1)[0])
+        dt = (time.time() - t0) / reps / N
+        line = f"{name:<44s} {dt*1e3:9.2f} ms/iter"
+        if flops:
+            line += f"  {flops/dt/1e12:7.1f} TF/s"
+        if bytes_:
+            line += f"  {bytes_/dt/1e9:7.1f} GB/s"
+        print(line)
+        return dt
+
+    rng = np.random.default_rng(0)
+
+    # ---- 1. bf16 matmul (pure MXU ceiling)
+    m = 1024 if args.small else 8192
+    a = jnp.asarray(rng.standard_normal((m, m)), jnp.bfloat16)
+    timed_chain(f"matmul bf16 {m}x{m}x{m}",
+                lambda x: (x @ a).astype(jnp.bfloat16), a,
+                flops=2.0 * m ** 3)
+
+    # ---- 2. conv3d at the flagship's dominant shapes (NDHWC, 3^3 kernel)
+    convs = [(64, 64, 64), (110, 64, 128)] if args.small is False else \
+        [(32, 8, 8)]
+    if not args.small:
+        convs = [(220, 64, 64),    # decoder level-0 / head conv (dominant)
+                 (110, 128, 128),  # level-1
+                 (55, 256, 256)]   # level-2
+    for s, cin, cout in convs:
+        k = jnp.asarray(rng.standard_normal((3, 3, 3, cin, cout)) * 0.01,
+                        jnp.bfloat16)
+        x = jnp.asarray(rng.standard_normal((1, s, s, s, cin)), jnp.bfloat16)
+
+        def conv(x, k=k, cin=cin, cout=cout):
+            y = lax.conv_general_dilated(
+                x, k, (1, 1, 1), "SAME",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+            # keep channel count constant so the scan chains; fold cout->cin
+            return y[..., :cin].astype(jnp.bfloat16)
+
+        flops = 2.0 * s ** 3 * cin * cout * 27
+        timed_chain(f"conv3d bf16 {s}^3 x{cin}->{cout} 3^3", conv, x,
+                    flops=flops)
+
+    # ---- 3. elementwise HBM bandwidth (GroupNorm-ish traffic shape)
+    n = (64 if args.small else 220) ** 3 * 64
+    v = jnp.asarray(rng.standard_normal((n // 64, 64)), jnp.bfloat16)
+    timed_chain(f"elementwise bf16 x*1.0001+0.1 ({v.size/1e6:.0f}M elems)",
+                lambda x: (x * 1.0001 + 0.1).astype(jnp.bfloat16), v,
+                bytes_=2.0 * v.size * 2)  # read + write, 2 B/elem
+
+    # ---- 4. GroupNorm(8)+LeakyReLU at the dominant decoder shape — the
+    # memory-bound chain save_convs remat recomputes
+    if not args.small:
+        x = jnp.asarray(rng.standard_normal((1, 220, 220, 220, 64)),
+                        jnp.bfloat16)
+
+        def gn(x):
+            xs = x.reshape(1, -1, 8, 8)
+            mu = jnp.mean(xs, axis=(1, 3), keepdims=True)
+            var = jnp.var(xs, axis=(1, 3), keepdims=True)
+            y = ((xs - mu) / jnp.sqrt(var + 1e-5)).reshape(x.shape)
+            return jax.nn.leaky_relu(y).astype(jnp.bfloat16)
+
+        timed_chain("groupnorm8+leakyrelu 220^3x64", gn, x,
+                    bytes_=2.0 * x.size * 2)
+
+
+if __name__ == "__main__":
+    main()
+    import os
+    os._exit(0)  # axon relay thread is non-daemon
