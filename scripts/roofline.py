@@ -55,8 +55,12 @@ def main():
             y, _ = lax.scan(body, x, None, length=N)
             return y
 
+        t_w = time.time()
+        print(f"# warm {name} ...", file=sys.stderr, flush=True)
         y = run(x0)
         np.asarray(jax.tree.leaves(y)[0].reshape(-1)[0])  # compile+warm
+        print(f"# warm {name}: {time.time()-t_w:.1f}s",
+              file=sys.stderr, flush=True)
         t0 = time.time()
         for _ in range(reps):
             y = run(x0)
@@ -80,6 +84,14 @@ def main():
                 flops=2.0 * m ** 3)
 
     # ---- 2. conv3d at the flagship's dominant shapes (NDHWC, 3^3 kernel)
+    # NOTE on diagnosing conv TF/s vs the square-matmul line: an im2col-
+    # shaped matmul probe (M=voxels, K=27*cin, N=cout) cannot isolate the
+    # MXU-width ceiling because at N=64 its arithmetic intensity
+    # (~N/2 FLOP/B) is far below this chip's ~700 FLOP/B balance point —
+    # any XLA-level skinny-N matmul is memory-bound reading the patch
+    # matrix. The channel sweep below (64/128/256 at constant FLOPs) is
+    # the meaningful width probe: conv reads x once (AI ~ 27*cout), so it
+    # is compute-bound at every flagship width.
     convs = [(64, 64, 64), (110, 64, 128)] if args.small is False else \
         [(32, 8, 8)]
     if not args.small:

@@ -1,5 +1,6 @@
 """Dataset layer: registry, factory, weighted mixing stream."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -23,6 +24,7 @@ def test_pathology_pool_empty_without_data(tmp_path):
     assert paths == [] and probs == []
 
 
+@pytest.mark.slow  # mesh-training-loop tier (VERDICT r2 weak#2)
 def test_build_datasets_debug_stream():
     gen_cfg = AttrDict.from_nested({
         "size": [32, 32, 32], "generator": "brain_id",

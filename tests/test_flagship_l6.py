@@ -26,10 +26,13 @@ from brainfm_tpu.parallel.mesh import make_mesh
 from brainfm_tpu.train.step import TrainState, build_optimizer, \
     make_train_step
 
-# NOTE: no module-level `slow` mark — the flagship160 tests below must
-# carry ONLY their own marker, or a `-m slow` run (which overrides the
-# addopts `-m "not flagship160"` exclusion) would pull in the ~1e14-FLOP
-# runs this host cannot execute.
+# NOTE: no module-level `slow` mark, but the flagship160 tests below carry
+# BOTH markers: `-m` on the command line REPLACES the addopts
+# `-m "not flagship160"` exclusion, so a bare `-m "not slow"` fast-tier run
+# would otherwise pull in these ~1e14-FLOP runs and hang the host for hours
+# (this happened: it stalled a whole build session). With both markers,
+# every tier excludes them unless explicitly requested via
+# `-m flagship160`; to run the slow tier use `-m "slow and not flagship160"`.
 
 
 def _l6_cfg(size, f_maps=64):
@@ -158,6 +161,7 @@ def test_l6_spatial_shard_matches_unsharded_48():
 
 
 @pytest.mark.flagship160
+@pytest.mark.slow
 def test_l6_full_width_spatial_shard_matches_unsharded_64():
     """The f_maps-64 (264M-param) variant of the equality test above —
     ~16x the FLOPs; run explicitly with -m flagship160 on a host with
@@ -201,6 +205,7 @@ def test_l6_full_width_spatial_shard_matches_unsharded_64():
 
 
 @pytest.mark.flagship160
+@pytest.mark.slow
 def test_l6_sharded_train_160_runs():
     """The actual flagship configuration: 160^3 crop, L6, spatially
     sharded over 8 devices. Executes one train step and asserts a finite

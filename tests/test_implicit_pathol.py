@@ -91,6 +91,7 @@ def test_train_step_with_critic(rng):
     assert float(metrics["skipped"]) == 0.0
 
 
+@pytest.mark.slow  # mesh-training-loop tier (VERDICT r2 weak#2)
 def test_critic_reachable_from_training_driver(tmp_path):
     """VERDICT r2 gap: the critic must be reachable from the real training
     path — train() builds it from cfg.losses.implicit_pathol and threads

@@ -65,9 +65,13 @@ def test_parallel_speedup_smoke(volumes):
         paths.append(p)
     codec = VolCodec((64, 64, 64), n_threads=8)
     codec.decode_batch(paths[:2])  # warm up threads / page cache
-    t0 = time.time()
-    out = codec.decode_batch(paths)
-    native_t = time.time() - t0
+    # best-of-2 on both paths: a loaded CI host (another suite saturating
+    # the cores) can otherwise starve the thread pool on a single draw
+    native_t = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        out = codec.decode_batch(paths)
+        native_t = min(native_t, time.time() - t0)
 
     from brainfm_tpu.utils.nifti import load_nifti
 
@@ -75,13 +79,15 @@ def test_parallel_speedup_smoke(volumes):
     # C-ORDER float32 arena (what SubjectBank ingests / device_put wants);
     # load_nifti alone returns a zero-copy F-order view, deferring the
     # transpose+pad the codec already performed
-    t0 = time.time()
-    arena = np.zeros((24, 64, 64, 64), np.float32)
-    for i, p in enumerate(paths):
-        vol, _ = load_nifti(p)
-        d, h, w = vol.shape
-        arena[i, :d, :h, :w] = vol
-    py_t = time.time() - t0
+    py_t = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        arena = np.zeros((24, 64, 64, 64), np.float32)
+        for i, p in enumerate(paths):
+            vol, _ = load_nifti(p)
+            d, h, w = vol.shape
+            arena[i, :d, :h, :w] = vol
+        py_t = min(py_t, time.time() - t0)
     print(f"native {native_t*1e3:.0f} ms vs python(+pad) {py_t*1e3:.0f} ms")
     assert out.shape[0] == 24
     np.testing.assert_allclose(out, arena, rtol=1e-6)
