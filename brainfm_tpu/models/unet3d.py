@@ -38,8 +38,174 @@ def _num_groups(channels: int, num_groups: int) -> int:
     return num_groups
 
 
+# Per-dim phase map for the decoder up-branch conv rewrite (see
+# _phase_upconv): _PHASE_MAP[p, d, m] == 1 iff a fine-grid 3-tap kernel
+# offset d (0..2 <-> -1..1) lands on coarse offset m (0..2 <-> -1..1) for
+# fine output phase p: floor((p + d - 1) / 2) == m - 1.
+_PHASE_MAP = jnp.asarray(
+    [[[1, 0, 0], [0, 1, 0], [0, 1, 0]],    # p = 0
+     [[0, 1, 0], [0, 1, 0], [0, 0, 1]]],   # p = 1
+    jnp.float32)
+
+
+def _phase_upconv(x, kernel, up_start):
+    """3x3x3 SAME conv of `x` whose tail channels [up_start:] are an exact
+    2x nearest-repeat of a coarse field — computed as skip-conv +
+    ONE WIDE coarse conv + depth-to-space.
+
+    Why: the flagship's level-0 decoder convs have cout = f_maps = 64,
+    and this chip runs narrow-output convs at less than half the MXU rate
+    (measured scripts/roofline.py --convprobe: 3^3 conv 192->64 32.5 TF/s,
+    128->64 37 TF/s, vs 128->128 82 TF/s, 64->512 223 TF/s). Folding the
+    8 fine output phases into channels turns the up-branch into a
+    cin->8*cout conv at the coarse grid — wide enough to fill the MXU
+    lanes — while the GroupNorm/activation layers before the conv are
+    per-channel/pointwise, so they preserve the nearest-repeat structure
+    the decoder concat produced and the tail can be recovered exactly by
+    a stride-2 slice.
+
+    Exactness: values match the plain conv up to fp reassociation (taps
+    falling on the same coarse voxel are pre-summed in the folded
+    kernel); gradients match too, because every backward quantity
+    (input grad through the repeat, GroupNorm stat grads) only ever
+    consumes per-cell SUMS of fine-grid cotangents, which is precisely
+    what the transposed wide conv yields at the sliced positions.
+
+    Equivalent reference computation: plain Conv3d over the
+    upsample+concat (unet3d/model.py:116-209, buildingblocks.py:104-150);
+    the reference has no analogous rewrite (cuDNN does not pay the
+    narrow-channel penalty the MXU does).
+    """
+    s0 = up_start
+    return _phase_pair_conv(x[..., :s0], x[:, ::2, ::2, ::2, s0:], kernel)
+
+
+def _phase_pair_conv(enc, z, kernel):
+    """conv3x3(concat([enc, nearest_up2(z)])) without ever materializing
+    the upsample or the concat: skip-conv on `enc` + ONE wide phase-folded
+    conv on the coarse `z` + depth-to-space. See _phase_upconv."""
+    s0 = enc.shape[-1]
+    ka, kb = kernel[..., :s0, :], kernel[..., s0:, :]
+    dn = ("NDHWC", "DHWIO", "NDHWC")
+    ya = jax.lax.conv_general_dilated(enc, ka, (1, 1, 1), "SAME",
+                                      dimension_numbers=dn)
+    m = _PHASE_MAP.astype(kernel.dtype)
+    # kb (3,3,3,ci,co) -> folded (3,3,3,ci, 2,2,2,co), phase-major tail
+    kph = jnp.einsum("xyzio,pxa,qyb,rzc->abcipqro", kb, m, m, m)
+    co = kb.shape[-1]
+    kph = kph.reshape(*kph.shape[:4], 8 * co)
+    yb = jax.lax.conv_general_dilated(z, kph, (1, 1, 1), "SAME",
+                                      dimension_numbers=dn)
+    b, dc, hc, wc = yb.shape[:4]
+    yb = yb.reshape(b, dc, hc, wc, 2, 2, 2, co)
+    yb = yb.transpose(0, 1, 4, 2, 5, 3, 6, 7)  # depth-to-space interleave
+    yb = yb.reshape(b, 2 * dc, 2 * hc, 2 * wc, co)
+    return ya + yb
+
+
+def _space_sharded() -> bool:
+    """True when an ambient mesh spatially shards the volume ('space'
+    axis > 1). The phase-upconv rewrite is numerically exact but its
+    backward (scatter of the stride-2 slice + depth-to-space reshapes)
+    is mis-partitioned by the current GSPMD partitioner under spatial
+    sharding (measured: conv-kernel grad rel-L2 0.89 vs unsharded at
+    fp64, same class of bug _replicate_if_degenerate documents) — fall
+    back to the plain conv there."""
+    try:
+        am = jax.sharding.get_abstract_mesh()
+        return am is not None and dict(am.shape).get("space", 1) > 1
+    except Exception:
+        return False
+
+
+class _ConvParams(nn.Module):
+    """Parameter container path/init-compatible with `nn.Conv(name=...)`:
+    same ('kernel','bias') names, shapes, fp32 param dtype and default
+    initializers, so checkpoints and the torch importer see no
+    difference whichever conv implementation consumes them."""
+
+    features: int
+    in_features: int
+    ksize: tuple
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (*self.ksize, self.in_features, self.features),
+                       jnp.float32)
+        b = (self.param("bias", nn.initializers.zeros, (self.features,),
+                        jnp.float32) if self.use_bias else None)
+        return k, b
+
+
+class _GNParams(nn.Module):
+    """('scale','bias') container path/init-compatible with
+    `nn.GroupNorm(name='groupnorm')`."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.features,),
+                       jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        return s, b
+
+
+def _pair_groupnorm(enc, z, scale, bias, num_groups, eps=1e-5):
+    """GroupNorm over the VIRTUAL concat([enc, nearest_up2(z)]) without
+    materializing it: fine-grid sums over the repeated tail equal 8x the
+    coarse sums, so the group statistics are computed exactly from the
+    two parts, and the per-channel affine is applied to each part
+    separately (GroupNorm is per-channel affine after stats, which is
+    what keeps the tail's nearest-repeat structure intact for the phase
+    conv that follows). Matches flax nn.GroupNorm semantics: stats in
+    promote_types(x.dtype, float32), fast variance E[x^2]-E[x]^2,
+    lax.rsqrt(var+eps)."""
+    ce, cz = enc.shape[-1], z.shape[-1]
+    c = ce + cz
+    groups = _num_groups(c, num_groups)
+    gsize = c // groups
+    sdt = jnp.promote_types(enc.dtype, jnp.float32)
+    e32, z32 = enc.astype(sdt), z.astype(sdt)
+    n_fine = 1.0
+    for s in enc.shape[1:4]:
+        n_fine *= s
+    se = jnp.sum(e32, axis=(1, 2, 3))
+    se2 = jnp.sum(e32 * e32, axis=(1, 2, 3))
+    sz = jnp.sum(z32, axis=(1, 2, 3)) * 8.0
+    sz2 = jnp.sum(z32 * z32, axis=(1, 2, 3)) * 8.0
+    s1 = jnp.concatenate([se, sz], axis=-1)     # (B, C) per-channel sums
+    s2 = jnp.concatenate([se2, sz2], axis=-1)
+    bsz = s1.shape[0]
+    gmean = s1.reshape(bsz, groups, gsize).sum(-1) / (n_fine * gsize)
+    gmean2 = s2.reshape(bsz, groups, gsize).sum(-1) / (n_fine * gsize)
+    inv = jax.lax.rsqrt(gmean2 - gmean * gmean + eps)
+    # per-channel composite affine: y = x*a + b
+    a = (jnp.repeat(inv, gsize, axis=-1) * scale.astype(sdt)[None])
+    b = (bias.astype(sdt)[None]
+         - jnp.repeat(gmean * inv, gsize, axis=-1) * scale.astype(sdt)[None])
+    shp = (bsz, 1, 1, 1, -1)
+    enc_out = (e32 * a[:, :ce].reshape(shp)
+               + b[:, :ce].reshape(shp)).astype(enc.dtype)
+    z_out = (z32 * a[:, ce:].reshape(shp)
+             + b[:, ce:].reshape(shp)).astype(z.dtype)
+    return enc_out, z_out
+
+
 class SingleConv(nn.Module):
-    """One `layer_order` unit (parity: buildingblocks.py:78-101)."""
+    """One `layer_order` unit (parity: buildingblocks.py:78-101).
+
+    The input may be a `(enc, z)` PAIR (decoder level whose upsample is
+    an exact 2x repeat, see _DecoderStack): semantically it stands for
+    concat([enc, nearest_up2(z)]) which is never materialized — pointwise
+    layers apply to both parts, GroupNorm uses the fused-stats form
+    (_pair_groupnorm), and the conv dispatches to the wide phase-folded
+    rewrite (_phase_pair_conv), after which the value is an ordinary
+    fine-grid tensor. This halves the level-0 decoder's HBM traffic and
+    more than doubles its conv MXU rate (see _phase_upconv docstring)."""
 
     out_channels: int
     order: str = "gcl"
@@ -54,28 +220,49 @@ class SingleConv(nn.Module):
         assert "c" in order
         ndim = 3 if self.is_3d else 2
         for i, ch in enumerate(order):
+            pair = isinstance(x, tuple)
             if ch == "c":
                 bias = not ("g" in order or "b" in order)
-                x = nn.Conv(self.out_channels, (self.kernel_size,) * ndim,
-                            padding="SAME", use_bias=bias, name="conv",
-                            dtype=self.compute_dtype, param_dtype=jnp.float32)(x)
+                if pair:
+                    enc, z = x
+                    k, b = _ConvParams(self.out_channels,
+                                       enc.shape[-1] + z.shape[-1],
+                                       (3,) * ndim, bias, name="conv")()
+                    y = _phase_pair_conv(enc, z,
+                                         k.astype(self.compute_dtype))
+                    x = y if b is None else y + b.astype(self.compute_dtype)
+                else:
+                    x = nn.Conv(self.out_channels,
+                                (self.kernel_size,) * ndim,
+                                padding="SAME", use_bias=bias, name="conv",
+                                dtype=self.compute_dtype,
+                                param_dtype=jnp.float32)(x)
                 # named for the 'save_convs' remat policy (see _remat_block)
                 x = _adc.checkpoint_name(x, "conv_out")
             elif ch == "g":
-                groups = _num_groups(x.shape[-1], self.num_groups)
-                x = nn.GroupNorm(num_groups=groups, epsilon=1e-5, name="groupnorm",
-                                 dtype=self.compute_dtype,
-                                 param_dtype=jnp.float32)(x)
+                if pair:
+                    enc, z = x
+                    c = enc.shape[-1] + z.shape[-1]
+                    s, b = _GNParams(c, name="groupnorm")()
+                    x = _pair_groupnorm(enc, z, s, b, self.num_groups)
+                else:
+                    groups = _num_groups(x.shape[-1], self.num_groups)
+                    x = nn.GroupNorm(num_groups=groups, epsilon=1e-5,
+                                     name="groupnorm",
+                                     dtype=self.compute_dtype,
+                                     param_dtype=jnp.float32)(x)
             elif ch == "b":
+                # the decoder never forms a pair when 'b' is in the order
                 x = nn.BatchNorm(use_running_average=True, name="batchnorm",
                                  dtype=self.compute_dtype,
                                  param_dtype=jnp.float32)(x)
             elif ch == "l":
-                x = nn.leaky_relu(x, negative_slope=0.01)
+                x = jax.tree.map(
+                    lambda t: nn.leaky_relu(t, negative_slope=0.01), x)
             elif ch == "r":
-                x = nn.relu(x)
+                x = jax.tree.map(nn.relu, x)
             elif ch == "e":
-                x = nn.elu(x)
+                x = jax.tree.map(nn.elu, x)
             else:
                 raise ValueError(f"unsupported layer type {ch}")
         return x
@@ -95,13 +282,17 @@ class DoubleConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        in_ch = x.shape[-1]
+        # x may be an (enc, z_coarse) pair standing for the decoder's
+        # never-materialized upsample+concat — see SingleConv
+        in_ch = (x[0].shape[-1] + x[1].shape[-1]) if isinstance(x, tuple) \
+            else x.shape[-1]
         if self.encoder:
             conv1_out = max(self.out_channels // 2, in_ch)
         else:
             conv1_out = self.out_channels
         x = SingleConv(conv1_out, self.order, self.num_groups, self.kernel_size,
-                       self.compute_dtype, self.is_3d, name="SingleConv1")(x)
+                       self.compute_dtype, self.is_3d,
+                       name="SingleConv1")(x)
         x = SingleConv(self.out_channels, self.order, self.num_groups,
                        self.kernel_size, self.compute_dtype, self.is_3d,
                        name="SingleConv2")(x)
@@ -234,13 +425,27 @@ class _DecoderStack(nn.Module):
         rev = list(reversed(self.f_maps))
         for i, out_ch in enumerate(rev[1:]):
             enc = skips[i]
-            x = _nearest_upsample_to(x, enc.shape[1:-1])
-            x = jnp.concatenate([enc, x], axis=-1)
-            x = _replicate_if_degenerate(x, self.is_3d)
+            # phase-upconv eligibility (see _phase_upconv): exact 2x
+            # upsample on every axis, narrow cout (the MXU-underfill
+            # regime this rewrite exists for), 3-D, GroupNorm-or-none
+            # order (BatchNorm has running stats per materialized
+            # tensor), and no spatial GSPMD sharding (partitioner bug,
+            # see _space_sharded)
+            use_pair = (self.is_3d and out_ch < 128
+                        and "b" not in self.order
+                        and all(t == 2 * s and s > 0 for s, t in
+                                zip(x.shape[1:-1], enc.shape[1:-1]))
+                        and not _space_sharded())
+            if use_pair:
+                xin = (enc, x)
+            else:
+                x = _nearest_upsample_to(x, enc.shape[1:-1])
+                xin = jnp.concatenate([enc, x], axis=-1)
+                xin = _replicate_if_degenerate(xin, self.is_3d)
             x = block(out_ch, encoder=False, order=self.order,
                       num_groups=self.num_groups,
                       compute_dtype=self.compute_dtype, is_3d=self.is_3d,
-                      name=f"{self.prefix}{i}")(x)
+                      name=f"{self.prefix}{i}")(xin)
             outs.append(x)
         return x, outs
 

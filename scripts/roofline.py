@@ -32,6 +32,8 @@ def main():
                     help="iterations chained inside one jitted scan")
     ap.add_argument("--small", action="store_true",
                     help="shrink shapes (CPU smoke)")
+    ap.add_argument("--convprobe", action="store_true",
+                    help="only the channel-width disambiguation convs")
     args = ap.parse_args()
 
     import jax
@@ -41,6 +43,8 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_explain_cache_misses", True)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     N = args.chain
 
@@ -74,11 +78,47 @@ def main():
         print(line)
         return dt
 
-    rng = np.random.default_rng(0)
+    # All operands are generated ON DEVICE (jax.random): a host-side
+    # standard_normal + jnp.asarray would push GBs through the relay
+    # tunnel per shape, which dominated earlier runs of this script.
+    key = jax.random.PRNGKey(0)
+
+    def dev_normal(shape, scale=1.0):
+        return (jax.random.normal(key, shape, jnp.float32) * scale
+                ).astype(jnp.bfloat16)
+
+    def conv_chain(s, cin, cout, tag=""):
+        k = jax.jit(dev_normal, static_argnums=0)((3, 3, 3, cin, cout), 0.01)
+        x = jax.jit(dev_normal, static_argnums=0)((1, s, s, s, cin))
+
+        def conv(x, k=k, cin=cin, cout=cout):
+            y = lax.conv_general_dilated(
+                x, k, (1, 1, 1), "SAME",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+            # keep channel count constant so the scan chains; fold cout->cin
+            if cout >= cin:
+                y = y[..., :cin]
+            else:
+                y = jnp.concatenate([y] * (cin // cout), axis=-1)
+            return y.astype(jnp.bfloat16)
+
+        flops = 2.0 * s ** 3 * cin * cout * 27
+        return timed_chain(f"conv3d bf16 {s}^3 x{cin}->{cout} 3^3{tag}",
+                           conv, x, flops=flops)
+
+    if args.convprobe:
+        # Disambiguate the 64-channel conv penalty: same voxel count
+        # (110^3), channel widths {64,128} on each side. If 64->64 is slow
+        # at 110^3 too, the penalty is channel width (lanes/MXU feed), not
+        # spatial extent; 64->128 vs 128->64 says whether K or N drives it.
+        for cin, cout in ((64, 64), (128, 128), (64, 128), (128, 64),
+                          (192, 64), (64, 512)):
+            conv_chain(110, cin, cout)
+        return
 
     # ---- 1. bf16 matmul (pure MXU ceiling)
     m = 1024 if args.small else 8192
-    a = jnp.asarray(rng.standard_normal((m, m)), jnp.bfloat16)
+    a = jax.jit(dev_normal, static_argnums=0)((m, m))
     timed_chain(f"matmul bf16 {m}x{m}x{m}",
                 lambda x: (x @ a).astype(jnp.bfloat16), a,
                 flops=2.0 * m ** 3)
@@ -99,24 +139,11 @@ def main():
                  (110, 128, 128),  # level-1
                  (55, 256, 256)]   # level-2
     for s, cin, cout in convs:
-        k = jnp.asarray(rng.standard_normal((3, 3, 3, cin, cout)) * 0.01,
-                        jnp.bfloat16)
-        x = jnp.asarray(rng.standard_normal((1, s, s, s, cin)), jnp.bfloat16)
-
-        def conv(x, k=k, cin=cin, cout=cout):
-            y = lax.conv_general_dilated(
-                x, k, (1, 1, 1), "SAME",
-                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
-            # keep channel count constant so the scan chains; fold cout->cin
-            return y[..., :cin].astype(jnp.bfloat16)
-
-        flops = 2.0 * s ** 3 * cin * cout * 27
-        timed_chain(f"conv3d bf16 {s}^3 x{cin}->{cout} 3^3", conv, x,
-                    flops=flops)
+        conv_chain(s, cin, cout)
 
     # ---- 3. elementwise HBM bandwidth (GroupNorm-ish traffic shape)
     n = (64 if args.small else 220) ** 3 * 64
-    v = jnp.asarray(rng.standard_normal((n // 64, 64)), jnp.bfloat16)
+    v = jax.jit(dev_normal, static_argnums=0)((n // 64, 64))
     timed_chain(f"elementwise bf16 x*1.0001+0.1 ({v.size/1e6:.0f}M elems)",
                 lambda x: (x * 1.0001 + 0.1).astype(jnp.bfloat16), v,
                 bytes_=2.0 * v.size * 2)  # read + write, 2 B/elem
@@ -124,8 +151,7 @@ def main():
     # ---- 4. GroupNorm(8)+LeakyReLU at the dominant decoder shape — the
     # memory-bound chain save_convs remat recomputes
     if not args.small:
-        x = jnp.asarray(rng.standard_normal((1, 220, 220, 220, 64)),
-                        jnp.bfloat16)
+        x = jax.jit(dev_normal, static_argnums=0)((1, 220, 220, 220, 64))
 
         def gn(x):
             xs = x.reshape(1, -1, 8, 8)
