@@ -146,6 +146,10 @@ def build_backbone(cfg, name: str | None = None, compute_dtype=jnp.float32):
               num_groups=int(cfg.num_groups or 8),
               is_unit_vector=bool(cfg.unit_feat),
               remat=remat if isinstance(remat, str) else bool(remat),
+              # level-0 decoder conv rewrite (unet3d._phase_upconv); exact,
+              # on by default — `phase_upconv: false` opts out for A/B
+              phase_upconv=bool(cfg.get("phase_upconv", True)
+                                if hasattr(cfg, "get") else True),
               compute_dtype=compute_dtype)
     if name == "unet3d":
         return UNet3D(**kw)

@@ -417,6 +417,7 @@ class _DecoderStack(nn.Module):
     is_3d: bool = True
     prefix: str = "decoder"
     remat: bool | str = False
+    phase_upconv: bool = True  # the level-0 rewrite (see _phase_upconv)
 
     @nn.compact
     def __call__(self, x, skips):
@@ -431,7 +432,7 @@ class _DecoderStack(nn.Module):
             # order (BatchNorm has running stats per materialized
             # tensor), and no spatial GSPMD sharding (partitioner bug,
             # see _space_sharded)
-            use_pair = (self.is_3d and out_ch < 128
+            use_pair = (self.phase_upconv and self.is_3d and out_ch < 128
                         and "b" not in self.order
                         and all(t == 2 * s and s > 0 for s, t in
                                 zip(x.shape[1:-1], enc.shape[1:-1]))
@@ -461,6 +462,7 @@ class UNet3D(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
     is_3d: bool = True
     remat: bool | str = False  # False | True/'full' | 'save_convs' (see _remat_block)
+    phase_upconv: bool = True  # level-0 decoder conv rewrite (_phase_upconv)
 
     def setup(self):
         fm = feature_maps(self.f_maps, self.num_levels)
@@ -469,7 +471,8 @@ class UNet3D(nn.Module):
                                       remat=self.remat)
         self.decoders = _DecoderStack(fm, self.layer_order, self.num_groups,
                                       self.compute_dtype, self.is_3d,
-                                      remat=self.remat)
+                                      remat=self.remat,
+                                      phase_upconv=self.phase_upconv)
 
     def __call__(self, x):
         feats = self.get_feature(x)
@@ -500,6 +503,7 @@ class UNet3DSep(nn.Module):
     is_unit_vector: bool = False
     compute_dtype: jnp.dtype = jnp.float32
     remat: bool | str = False
+    phase_upconv: bool = True  # level-0 decoder conv rewrite (_phase_upconv)
 
     def setup(self):
         fm = feature_maps(self.f_maps, self.num_levels)
@@ -508,11 +512,13 @@ class UNet3DSep(nn.Module):
         self.decoders_normal = _DecoderStack(fm, self.layer_order,
                                              self.num_groups, self.compute_dtype,
                                              prefix="decoder_normal",
-                                             remat=self.remat)
+                                             remat=self.remat,
+                                             phase_upconv=self.phase_upconv)
         self.decoders_pathol = _DecoderStack(fm, self.layer_order,
                                              self.num_groups, self.compute_dtype,
                                              prefix="decoder_pathol",
-                                             remat=self.remat)
+                                             remat=self.remat,
+                                             phase_upconv=self.phase_upconv)
 
     def __call__(self, x):
         feats = self.get_feature(x)

@@ -9,14 +9,14 @@ dependent-transfer fence. Run on the real chip:
     python scripts/profile_infer.py --size 64      # small/CPU smoke
     python scripts/profile_infer.py --trace DIR    # + jax.profiler trace
 
-Roofline context: the L6/f64 backbone at 220^3 is ~21 bf16 TFLOP.
-Nominal v5e peak (197 TF/s) would put that at ~107 ms, but THIS relay
-chip measures de-rated ~4-5x across the board (conv3d ~30 TF/s,
-matmul 45 TF/s, HBM 147 GB/s — see .claude/skills/verify/SKILL.md #10),
-so the measured 578 ms whole-volume pass is ~36 TF/s — at or above the
-chip's measured conv roofline already. Use this script to confirm the
-split stays conv-bound (encoders+decoders >> heads+postprocess) and to
-catch regressions, not to chase nominal-peak utilization.
+Roofline context (BASELINE.md "Delivered chip rooflines", 2026-08-19):
+the L6/f64 forward at 220^3 is ~21 bf16 TFLOP; the chip delivers
+113 TF/s matmul but only 28-40 TF/s on cout=64 convs (MXU lane
+underfill) vs 82-223 TF/s on wide ones. After the phase-upconv rewrite
+the whole-volume pass measures 493 ms = 42.8 TF/s sustained = 38% of
+measured matmul peak, ~80% of the op-mix roofline. Use this script to
+confirm the split stays conv-bound (encoders+decoders >> heads+
+postprocess) and to catch regressions, not to chase nominal peaks.
 """
 
 import argparse
