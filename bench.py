@@ -266,7 +266,9 @@ def main():
             "task_f_maps": [64], "max_surf_distance": 3.0,
             "label_list_segmentation_with_csf": [0, 14, 15, 16, 24, 77, 85],
             "optimizer": "adamw", "lr": 1e-4, "weight_decay": 0.0,
-            "clip_max_norm": 1.0, "all_samples": 1, "remat": True,
+            # save_convs: measured 15% faster than 'full' at this shape
+            # (396 vs 465 ms, scripts/profile_train.py 2026-08-19)
+            "clip_max_norm": 1.0, "all_samples": 1, "remat": "save_convs",
         })
         tcfg, tmodel = build_model(tcfg, compute_dtype=jnp.bfloat16)
         _, twd, tloss = make_criterion(tcfg)

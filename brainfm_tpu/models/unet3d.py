@@ -427,12 +427,17 @@ class _DecoderStack(nn.Module):
         for i, out_ch in enumerate(rev[1:]):
             enc = skips[i]
             # phase-upconv eligibility (see _phase_upconv): exact 2x
-            # upsample on every axis, narrow cout (the MXU-underfill
-            # regime this rewrite exists for), 3-D, GroupNorm-or-none
-            # order (BatchNorm has running stats per materialized
-            # tensor), and no spatial GSPMD sharding (partitioner bug,
-            # see _space_sharded)
-            use_pair = (self.phase_upconv and self.is_3d and out_ch < 128
+            # upsample on every axis, 3-D, GroupNorm-or-none order
+            # (BatchNorm has running stats per materialized tensor), and
+            # no spatial GSPMD sharding (partitioner bug, see
+            # _space_sharded). The rewrite is FLOP-neutral (the folded
+            # kernel pre-sums fine taps landing on the same coarse
+            # voxel), so it pays at EVERY level that underfills MXU
+            # lanes AND it skips the upsample+concat materialization;
+            # the cap exists because the folded kernel is 432*cout^2
+            # elements (0.9 GB at cout=1024) while deep-level tensors
+            # are KB-scale — levels 0-2 are where the time is.
+            use_pair = (self.phase_upconv and self.is_3d and out_ch <= 256
                         and "b" not in self.order
                         and all(t == 2 * s and s > 0 for s, t in
                                 zip(x.shape[1:-1], enc.shape[1:-1]))

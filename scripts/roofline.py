@@ -34,6 +34,9 @@ def main():
                     help="shrink shapes (CPU smoke)")
     ap.add_argument("--convprobe", action="store_true",
                     help="only the channel-width disambiguation convs")
+    ap.add_argument("--foldprobe", action="store_true",
+                    help="folded level-0 conv pattern vs the direct "
+                         "narrow conv (see models/unet3d.py fold_l0)")
     args = ap.parse_args()
 
     import jax
@@ -105,6 +108,43 @@ def main():
         flops = 2.0 * s ** 3 * cin * cout * 27
         return timed_chain(f"conv3d bf16 {s}^3 x{cin}->{cout} 3^3{tag}",
                            conv, x, flops=flops)
+
+    if args.foldprobe:
+        # The fold_l0 bet (models/unet3d.py): a 3^3 SAME conv with
+        # cout=64 at 220^3 (28-40 TF/s, MXU lane underfill) computed in
+        # space-to-depth space = ONE 2^3 conv at 8x width (512->512,
+        # the >200 TF/s regime) over 111^3 + 8 shifted slices. 2.43x the
+        # FLOPs at ~5x the rate should net ~2x. This probe times the
+        # EXACT folded pattern (pad + 2^3 conv + slices + concat) against
+        # the direct conv it replaces. "eff TF/s" below = the DIRECT
+        # conv's FLOPs / folded time (the apples-to-apples speedup).
+        s, c = (110, 64) if not args.small else (28, 8)
+        direct_flops = 2.0 * (2 * s) ** 3 * c * c * 27
+        dt_direct = conv_chain(2 * s, c, c, tag=" [direct]")
+        kf = jax.jit(dev_normal, static_argnums=0)((2, 2, 2, 8 * c, 8 * c),
+                                                   0.01)
+        xf = jax.jit(dev_normal, static_argnums=0)((1, s, s, s, 8 * c))
+
+        def folded(x, kf=kf, c=c, s=s):
+            y = lax.conv_general_dilated(
+                x, kf, (1, 1, 1), [(1, 1)] * 3,
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+            parts = []
+            for p1 in range(2):
+                for p2 in range(2):
+                    for p3 in range(2):
+                        i = (p1 * 2 + p2) * 2 + p3
+                        parts.append(y[:, p1:p1 + s, p2:p2 + s, p3:p3 + s,
+                                       i * c:(i + 1) * c])
+            return jnp.concatenate(parts, axis=-1).astype(jnp.bfloat16)
+
+        dt_fold = timed_chain(
+            f"folded conv {s}^3 x{8*c}->{8*c} 2^3 +slices", folded, xf,
+            flops=direct_flops)
+        print(f"# folded speedup vs direct: {dt_direct/dt_fold:.2f}x "
+              f"(raw folded FLOPs run at "
+              f"{2.0*(s+1)**3*8*(8*c)**2/dt_fold/1e12:.1f} TF/s)")
+        return
 
     if args.convprobe:
         # Disambiguate the 64-channel conv penalty: same voxel count

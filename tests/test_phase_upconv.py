@@ -78,6 +78,11 @@ def test_unet_decoder_phase_path_matches_fallback(monkeypatch):
     monkeypatch.setattr(u3, "_phase_pair_conv", counting)
     y_fast = model.apply(params, x)
     assert hits, "phase rewrite never engaged on an even-sized volume"
+    # every decoder level is shape-eligible here (16->8->4, all exact 2x)
+    # and under the cout<=256 cap: BOTH levels x 2 convs... the pair is
+    # consumed by SingleConv1 only (its conv materializes the tensor), so
+    # one engagement per level
+    assert len(hits) == 2, hits
 
     monkeypatch.setattr(u3, "_space_sharded", lambda: True)
     y_plain = model.apply(params, x)
