@@ -109,7 +109,10 @@ def _space_sharded() -> bool:
     backward (scatter of the stride-2 slice + depth-to-space reshapes)
     is mis-partitioned by the current GSPMD partitioner under spatial
     sharding (measured: conv-kernel grad rel-L2 0.89 vs unsharded at
-    fp64, same class of bug _replicate_if_degenerate documents) — fall
+    fp64, same class of bug _replicate_if_degenerate documents;
+    re-verified 2026-08-19 with the multi-level pair formulation —
+    forcing the pair path on under a space=4 mesh at fp64/32^3/L5
+    diverges in the FORWARD loss itself, worst grad rel-L2 ~7) — fall
     back to the plain conv there."""
     try:
         am = jax.sharding.get_abstract_mesh()
