@@ -262,13 +262,24 @@ def build_critic_from_cfg(cfg, compute_dtype=jnp.float32, seed: int = 7):
 
     ckp = cfg.get("supervised_pathol_seg_ckp_path") if hasattr(cfg, "get") \
         else None
-    path = None
+    path, missing = None, []
     if ckp is not None:
         # reference schema: {'feat': ..., 'task': ...} torch checkpoints;
         # our Joiner critic loads both through one fuzzy alignment pass
         paths = [ckp] if isinstance(ckp, str) else \
             [p for p in (ckp.get("feat"), ckp.get("task")) if p]
         path = [p for p in paths if os.path.isfile(str(p))]
+        missing = [str(p) for p in paths if not os.path.isfile(str(p))]
+    if missing:
+        # a PARTIAL checkpoint (e.g. feat present, task path typo'd) would
+        # silently leave half the frozen critic random-init — refuse
+        raise FileNotFoundError(
+            "supervised_pathol_seg_ckp_path: checkpoint file(s) not found: "
+            f"{missing} (found: {path or []}). Loading only part of the "
+            "frozen critic would train implicit_pathol against a "
+            "half-random critic; fix the path(s), or unset "
+            "supervised_pathol_seg_ckp_path entirely to intentionally run "
+            "a random-init critic (smoke tests)")
     if path:
         from .torch_import import import_checkpoint_aligned
 
@@ -279,8 +290,8 @@ def build_critic_from_cfg(cfg, compute_dtype=jnp.float32, seed: int = 7):
 
         warnings.warn(
             "implicit_pathol is on but no supervised_pathol_seg_ckp_path "
-            "checkpoint was found — the critic runs with RANDOM weights "
-            "(fine for smoke tests, meaningless as supervision)")
+            "checkpoint was configured — the critic runs with RANDOM "
+            "weights (fine for smoke tests, meaningless as supervision)")
     return critic, params, image_key
 
 

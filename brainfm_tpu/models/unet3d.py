@@ -113,7 +113,15 @@ def _space_sharded() -> bool:
     re-verified 2026-08-19 with the multi-level pair formulation —
     forcing the pair path on under a space=4 mesh at fp64/32^3/L5
     diverges in the FORWARD loss itself, worst grad rel-L2 ~7) — fall
-    back to the plain conv there."""
+    back to the plain conv there.
+
+    SCOPE: only shardings established via an ambient mesh
+    (jax.sharding.set_mesh) are visible at trace time — jit-argument
+    in_shardings are not. Every spatial entry point in this repo wraps
+    its step in set_mesh (train/loop.py, infer/api.py, __graft_entry__);
+    callers who jit with explicit spatial in_shardings instead MUST pass
+    phase_upconv=False (cfg flag `phase_upconv: false`, threaded through
+    build_backbone) or wrap in set_mesh."""
     try:
         am = jax.sharding.get_abstract_mesh()
         return am is not None and dict(am.shape).get("space", 1) > 1
@@ -227,6 +235,11 @@ class SingleConv(nn.Module):
             if ch == "c":
                 bias = not ("g" in order or "b" in order)
                 if pair:
+                    # the phase fold (_PHASE_MAP) is derived for the 3-tap
+                    # kernel only; a different kernel_size must take the
+                    # materialized-concat path (gate in _DecoderStack)
+                    assert self.kernel_size == 3, \
+                        "phase pair conv requires kernel_size=3"
                     enc, z = x
                     k, b = _ConvParams(self.out_channels,
                                        enc.shape[-1] + z.shape[-1],

@@ -121,26 +121,44 @@ class VolCodec:
                     *[paths[i].encode() for i in nii])
                 status = (ctypes.c_int * len(nii))()
                 dims = np.zeros((len(nii), 4), np.int64)
-                sub = np.zeros((len(nii), *self.bank_shape), np.float32)
+                # decode straight into the arena when every file is
+                # native-eligible (the common case) — a separate staging
+                # buffer would transiently hold a second full-batch copy
+                # (~3x peak at real-dataset scale)
+                all_nii = len(nii) == n
+                sub = arena if all_nii else \
+                    np.zeros((len(nii), *self.bank_shape), np.float32)
                 self.lib.volcodec_decode_batch_ex(
                     c_paths, len(nii),
                     sub.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
                     *self.bank_shape, status,
                     dims.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
-                ok = []
+                ok_set = set()
                 for j, i in enumerate(nii):
                     if status[j] == 0:
-                        arena[i] = sub[j]
+                        if not all_nii:
+                            arena[i] = sub[j]
                         shapes[i] = tuple(int(d) for d in dims[j, :3])
-                        ok.append(i)
-                fallback = [i for i in range(n) if i not in set(ok)]
+                        ok_set.add(i)
+                if not all_nii:
+                    del sub
+                fallback = [i for i in range(n) if i not in ok_set]
         for i in fallback:
             vol, _ = load_nifti(paths[i])
             vol = np.asarray(vol, np.float32)
+            # trailing singleton frames are a 3-D volume (dim[0]=4 with
+            # dim[4]=1, common from FSL/SPM writers): squeeze so the
+            # fallback rank matches the native path, which treats
+            # nframes=1 as 3-D (volcodec.cpp parse_header)
+            while vol.ndim > 3 and vol.shape[-1] == 1:
+                vol = vol[..., 0]
             shapes[i] = tuple(int(s) for s in vol.shape[:3])
             if vol.ndim > 3:
                 extras[i] = vol
                 continue
+            # the native codec may have partially written this row before
+            # failing — restore the zero padding before the slice write
+            arena[i].fill(0)
             sl = tuple(slice(0, min(a, b))
                        for a, b in zip(vol.shape[:3], self.bank_shape))
             arena[i][sl] = vol[sl]

@@ -301,12 +301,17 @@ class SynthDataset:
         Returns (stacked | None, mode: str | modes: list[str])."""
         import jax.numpy as jnp
 
-        subjects = [self.bank.to_device(i) for i in idxs]
-        modes = [choose_modality(self._rng, self.input_prob, set(s))
-                 for s in subjects]
+        # modality draws need only the HOST-side key sets (same keys as
+        # the device pytrees): drawing after to_device would ship every
+        # subject's volumes — and on a heterogeneous batch the caller's
+        # per-item fallback would ship them AGAIN past the LRU
+        modes = [choose_modality(self._rng, self.input_prob,
+                                 set(self.bank.subjects[i]))
+                 for i in idxs]
         if len(set(modes)) > 1:
             return None, modes
         mode = modes[0]
+        subjects = [self.bank.to_device(i) for i in idxs]
         common = set(subjects[0])
         for s in subjects[1:]:
             common &= set(s)

@@ -612,6 +612,13 @@ class SubjectBank:
                 vol = arena[row]
             if key in ("gen", "seg"):
                 vol = vol.astype(np.int32)
+            elif ci is None and row not in extras:
+                # copy the row OUT of the decode arena: storing the view
+                # would pin the whole (n_jobs, *bank_shape) arena for the
+                # bank's lifetime (~2x steady-state RAM at real-dataset
+                # scale); dist/reg channel views are copied by np.stack
+                # below
+                vol = vol.copy()
             if ci is None:
                 built[si][key] = vol
             else:
@@ -650,6 +657,11 @@ class SubjectBank:
                 vol, _ = load_nifti(p)
                 vol = vol.astype(np.int32 if key in ("gen", "seg")
                                  else np.float32)
+                # trailing singleton frames are a 3-D volume; squeeze so
+                # the rank matches the native-codec ingest (add_many),
+                # which treats nframes=1 as 3-D (volcodec.cpp)
+                while vol.ndim > 3 and vol.shape[-1] == 1:
+                    vol = vol[..., 0]
             if shape is None:
                 shape = vol.shape[:3]
             elif tuple(vol.shape[:3]) != tuple(shape):
