@@ -169,3 +169,52 @@ def test_bank_ingest_shape_mismatch_raises():
     bank = SubjectBank(bank_shape=(32, 32, 32))
     with pytest.raises(ValueError, match="share one native grid"):
         bank.add_many([paths])
+
+
+def test_trailing_singleton_frame_rank_consistent():
+    """A (D,H,W,1) NIfTI (dim[0]=4 with one frame — common from FSL/SPM
+    writers) must decode to the SAME rank through the native batch path
+    and the per-file Python path: both squeeze the singleton frame to 3-D
+    (the native parse_header treats nframes=1 as plain 3-D; the Python
+    ingest squeezes to match). True multi-frame files (>1 frames) keep
+    their frames via the extras path."""
+    from brainfm_tpu.synth.engine import SubjectBank
+
+    d = tempfile.mkdtemp()
+    rng = np.random.default_rng(9)
+    vol4 = rng.random((20, 22, 18, 1)).astype(np.float32)
+    p = os.path.join(d, "s0.T1.nii.gz")
+    save_nifti(p, vol4)
+
+    bank_native = SubjectBank(bank_shape=(24, 24, 24))
+    bank_native.add_many([{"T1": p}])
+    bank_py = SubjectBank(bank_shape=(24, 24, 24))
+    bank_py.add_from_files({"T1": p})
+
+    a = bank_native.subjects[0]["T1"]
+    b = bank_py.subjects[0]["T1"]
+    assert a.shape == b.shape == (24, 24, 24)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_partial_critic_checkpoint_refused(tmp_path):
+    """A PARTIAL supervised_pathol_seg_ckp_path (one of {feat, task}
+    missing) must refuse loudly instead of silently training against a
+    half-random frozen critic (round-3 review finding)."""
+    import pytest as _pytest
+
+    from brainfm_tpu.config import AttrDict
+    from brainfm_tpu.models.build import build_critic_from_cfg
+
+    feat = tmp_path / "feat.pth"
+    feat.write_bytes(b"placeholder")  # existence is checked before loading
+    cfg = AttrDict.from_nested({
+        "tasks": ["T1"],
+        "generator": {"size": [16, 16, 16]},
+        "losses": {"implicit_pathol": True},
+        "critic_f_maps": 8, "critic_num_levels": 2,
+        "supervised_pathol_seg_ckp_path": {
+            "feat": str(feat), "task": str(tmp_path / "missing.pth")},
+    })
+    with _pytest.raises(FileNotFoundError, match="missing.pth"):
+        build_critic_from_cfg(cfg)
