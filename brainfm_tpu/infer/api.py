@@ -58,13 +58,29 @@ class Inferencer:
                     f"no checkpoint found under {ckpt_path}")
             import orbax.checkpoint as ocp
 
-            # restore untargeted: the saved tree is a full TrainState
-            # ({params, opt_state, step}); a params-only target makes
-            # StandardCheckpointer raise on the tree mismatch
-            ckptr = ocp.StandardCheckpointer()
-            restored = ckptr.restore(os.path.abspath(path))
-            tree = restored.get("params", restored)
-            self.params = tree if "params" in tree else {"params": tree}
+            # params-only PARTIAL restore: the saved tree is a full
+            # TrainState ({params, opt_state, step}) — untargeted restore
+            # would also read the Adam moments (~3x the bytes and host
+            # memory at the 264M flagship) just to discard them. The
+            # abstract params template comes from eval_shape (no compute).
+            try:
+                n_levels = int(self.cfg.get("num_levels") or 5)
+                e = max(2 ** (n_levels - 1), 16)
+                ab = jax.eval_shape(
+                    self.model.init, jax.random.PRNGKey(0),
+                    jax.ShapeDtypeStruct((1, e, e, e, 1), jnp.float32))
+                restored = ocp.PyTreeCheckpointer().restore(
+                    os.path.abspath(path),
+                    args=ocp.args.PyTreeRestore(item={"params": ab},
+                                                partial_restore=True))
+                self.params = restored["params"]
+            except Exception:
+                # template/tree mismatch (older layout, non-TrainState
+                # save): fall back to the untargeted full restore
+                restored = ocp.StandardCheckpointer().restore(
+                    os.path.abspath(path))
+                tree = restored.get("params", restored)
+                self.params = tree if "params" in tree else {"params": tree}
         else:
             self.params = self._init_params()
         self._jitted = jax.jit(self._forward,
@@ -130,9 +146,12 @@ class Inferencer:
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            assert "space" in self.mesh.axis_names, self.mesh.axis_names
-            x = jax.device_put(
-                x, NamedSharding(self.mesh, P(None, "space")))
+            # spatial mesh: shard the volume's D axis; a data-only mesh
+            # (the batched-serving configuration) replicates the single
+            # volume instead of refusing to serve it
+            has_space = dict(self.mesh.shape).get("space", 1) > 1
+            spec = P(None, "space") if has_space else P()
+            x = jax.device_put(x, NamedSharding(self.mesh, spec))
             self._replicate_params_on_mesh()
         do_post = run_postprocess and not feature_only
         import contextlib
@@ -391,14 +410,20 @@ class Inferencer:
             for pos, (im, aff, _, _) in enumerate(loaded):
                 buckets.setdefault(tuple(im.shape), []).append((pos, im))
             out_host = [None] * len(g)
+            # the B a full group actually dispatches at: batch_size rounded
+            # up to the mesh data-axis multiple (evaluate_batch requires
+            # divisibility; reuse must pad to the COMPILED B, not to a
+            # batch_size that may violate it)
+            full_B = -(-batch_size // data_n) * data_n
             for shp, members in buckets.items():
                 vols = [im for _, im in members]
                 n_real = len(vols)
                 pad_to = -(-n_real // data_n) * data_n
                 if n_real == batch_size:
                     compiled_full.add(shp)
+                    pad_to = full_B
                 elif shp in compiled_full:
-                    pad_to = batch_size
+                    pad_to = full_B
                 if pad_to > n_real:
                     # partial tail bucket: padded dispatch recomputes the
                     # last volume pad_to-n_real extra times (compile reuse
@@ -492,16 +517,46 @@ class TwoStageInferencer:
         size = tuple(self.cfg.generator.size)
         x = jnp.zeros((1, *size, 1), jnp.float32)
 
-        def load(model, ckpt, x0):
-            if ckpt and ckpt.endswith((".pth", ".pt")):
+        orbax_cache: dict = {}
+
+        def orbax_params(path):
+            # this repo's twostage checkpoints are ONE orbax TrainState
+            # with params = {'pathol': ..., 'task': ...} (scripts/train.py
+            # trains both stages under one optimizer); accept the ckp/
+            # root or a concrete ckpt_* directory, like Inferencer
+            from ..train.checkpoint import latest_checkpoint
+
+            p = path
+            if os.path.isdir(path) and not os.path.basename(
+                    path).startswith("ckpt_"):
+                p = latest_checkpoint(path)
+            if not p or not os.path.isdir(p):
+                raise FileNotFoundError(f"no checkpoint found under {path}")
+            p = os.path.abspath(p)
+            if p not in orbax_cache:
+                import orbax.checkpoint as ocp
+
+                restored = ocp.StandardCheckpointer().restore(p)
+                orbax_cache[p] = restored.get("params", restored)
+            return orbax_cache[p]
+
+        def load(model, ckpt, x0, stage):
+            if ckpt and str(ckpt).endswith((".pth", ".pt")):
                 from ..models.torch_import import import_checkpoint
 
-                return import_checkpoint(ckpt)
+                return import_checkpoint(str(ckpt))
+            if ckpt:  # orbax directory (silently serving random weights
+                # from an unrecognized checkpoint is never acceptable:
+                # orbax_params raises if nothing restorable is there)
+                tree = orbax_params(str(ckpt))
+                sub = tree.get(stage, tree)
+                return sub if "params" in sub else {"params": sub}
             return jax.jit(model.init)(jax.random.PRNGKey(0), x0)
 
-        self.pathol_params = load(self.pathol_model, pathol_ckpt, x)
+        self.pathol_params = load(self.pathol_model, pathol_ckpt, x,
+                                  "pathol")
         self.task_params = load(self.task_model, task_ckpt,
-                                jnp.concatenate([x, x], -1))
+                                jnp.concatenate([x, x], -1), "task")
 
         def fwd(pp, tp, x):
             out = twostage_forward(self.pathol_model, self.task_model, pp, tp,

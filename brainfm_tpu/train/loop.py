@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from ..synth import SynthStatic, synth_item
 from ..synth.engine import build_knobs_stack, knobs_from_cfg
 from ..synth.sharded import sharded_synth_batch, stack_items
-from ..utils.logging import MetricLogger, setup_logging, write_log_line
+from ..utils.logging import setup_logging, write_log_line
 from .checkpoint import save_checkpoint
 from .schedules import build_schedules
 from .step import TrainState, build_optimizer, make_train_step
@@ -75,16 +75,27 @@ def make_eval_step(model, cfg, weight_dict, loss_fn, critic=None,
     from ..models.build import apply_processors, implicit_pathol_outputs
     from ..models.criterion import weighted_total
 
-    def per_item(params, samples, targets, critic_params):
-        outputs = apply_processors(model.apply(params, samples["input"]), cfg)
+    def per_item(params, samples, targets, cond, critic_params):
+        outputs = apply_processors(
+            model.apply(params, samples["input"], cond=cond), cfg)
         if critic is not None and critic_params is not None:
             outputs = implicit_pathol_outputs(critic, critic_params, outputs,
                                               targets, critic_image_key)
         return loss_fn(outputs, targets, samples)
 
     def step(params, batch, critic_params=None):
-        losses = jax.vmap(lambda s, t: per_item(params, s, t, critic_params))(
-            batch["samples"], batch["targets"])
+        # mirror make_train_step: conditioned batches carry 'cond' and the
+        # model must see it at validation too, or (a) the conv input width
+        # mismatches and (b) val loss would score unconditioned forwards
+        cond = batch.get("cond")
+        if cond is None:
+            losses = jax.vmap(
+                lambda s, t: per_item(params, s, t, None, critic_params))(
+                batch["samples"], batch["targets"])
+        else:
+            losses = jax.vmap(
+                lambda s, t, c: per_item(params, s, t, c, critic_params))(
+                batch["samples"], batch["targets"], cond)
         losses = {k: jnp.mean(v) for k, v in losses.items()}
         total = weighted_total(losses, weight_dict)
         losses["loss_total"] = total
@@ -227,8 +238,20 @@ def train(cfg, model, weight_dict, loss_fn, bank, out_dir: str,
                  "task": task_model.init(r2, x, cond=jnp.zeros_like(x))}
             return TrainState(p, optimizer.init(p), jnp.zeros((), jnp.int32))
     else:
+        # conditioned training (cfg.condition 'mask'/'flip'/'mask+flip'):
+        # the step applies the model WITH cond channels concatenated
+        # (step.py per_item -> Joiner concat), so init must see a cond of
+        # the same width or the first conv kernel is built 1-channel and
+        # the first step crashes on a param-shape mismatch
+        cond_terms = sum(t in str(cfg.get("condition") or "")
+                         for t in ("mask", "flip"))
+
         def _make_state(rng, x):
-            p = model.init(rng, x)
+            if cond_terms:
+                p = model.init(rng, x, cond=jnp.concatenate(
+                    [jnp.zeros_like(x)] * cond_terms, axis=-1))
+            else:
+                p = model.init(rng, x)
             return TrainState(p, optimizer.init(p), jnp.zeros((), jnp.int32))
 
     if fsdp and not resume:
@@ -340,15 +363,24 @@ def train(cfg, model, weight_dict, loss_fn, bank, out_dir: str,
                     "configured — pass input_modes or cfg.input_prob to mix "
                     "real images)")
 
-    key = jax.random.PRNGKey(seed + 1)
+    base_key = jax.random.PRNGKey(seed + 1)
     n_epochs = int(cfg.n_epochs)
-    rng_host = np.random.default_rng(seed)
 
     stats: dict = {}
     val_batches = None  # built lazily at the first validation epoch
     eval_step = None
+    vis_fwd = None  # lazily jitted vis forward: an eager model.apply pays
+    # the ~25 ms relay round-trip PER OP (api.py measurement) — a deep
+    # UNet forward is hundreds of ops, minutes per vis_itr trigger
     for epoch in range(start_epoch, n_epochs):
-        mlog = MetricLogger()
+        # per-epoch reseed from (seed, epoch): a resumed run draws the
+        # SAME modality roulette and synthesis keys as an uninterrupted
+        # one (the stream path reseeds its datasets the same way —
+        # datasets.py reseed; the bank path previously restarted both
+        # rngs from scratch on resume)
+        key = jax.random.fold_in(base_key, epoch)
+        rng_host = np.random.default_rng((seed, epoch))
+        metric_hist: list = []
         t_ep = time.time()
         if stream is not None:
             if mesh is not None:
@@ -357,8 +389,9 @@ def train(cfg, model, weight_dict, loss_fn, bank, out_dir: str,
                 group_plan = list(stream.epoch_grouped(
                     epoch, itr_per_epoch, batch_items))
             else:
+                # key is already folded per epoch above
                 item_iter = stream.epoch(epoch, itr_per_epoch * batch_items,
-                                         jax.random.fold_in(key, epoch))
+                                         key)
         else:
             sampler.set_epoch(epoch)
             subj_plan = sampler.sample(itr_per_epoch)
@@ -403,12 +436,15 @@ def train(cfg, model, weight_dict, loss_fn, bank, out_dir: str,
             wd = jnp.float32(wd_sched[min(gstep, len(wd_sched) - 1)])
             with mesh_scope():
                 state, metrics = step_fn(state, batch, lr, wd)
+            # EVERY step's metrics enter the epoch average (the reference
+            # logs per iteration, engine.py log_every; sampling every
+            # log_itr-th step biased the curves) — kept as device scalars
+            # so no per-iteration host sync; one stack+transfer per epoch
+            metric_hist.append(metrics)
             if it % log_itr == 0:
-                host_metrics = {k: float(v) for k, v in metrics.items()}
-                mlog.update(**host_metrics)
                 logger.info(f"epoch {epoch} it {it}/{itr_per_epoch} "
                             f"lr {float(lr):.2e} "
-                            f"loss {host_metrics['loss_total']:.4f}")
+                            f"loss {float(metrics['loss_total']):.4f}")
             if vis_itr and gstep % vis_itr == 0:
                 # periodic montage (parity: engine.py:167-179)
                 from ..models.build import apply_processors, twostage_forward
@@ -416,10 +452,13 @@ def train(cfg, model, weight_dict, loss_fn, bank, out_dir: str,
 
                 vcfg = cfg.get("visualizer") if hasattr(cfg, "get") else None
                 if twostage_models is not None:
-                    outs = twostage_forward(
-                        pathol_model, task_model, state.params["pathol"],
-                        state.params["task"], batch["samples"]["input"][0],
-                        cfg)
+                    if vis_fwd is None:
+                        vis_fwd = jax.jit(
+                            lambda pp, tp, x: twostage_forward(
+                                pathol_model, task_model, pp, tp, x, cfg))
+                    outs = vis_fwd(state.params["pathol"],
+                                   state.params["task"],
+                                   batch["samples"]["input"][0])
                     outs = {("feat" if k == "feat_task" else k): v
                             for k, v in outs.items() if k != "feat_pathol"}
                     pathol = outs.get("pathology")
@@ -427,9 +466,14 @@ def train(cfg, model, weight_dict, loss_fn, bank, out_dir: str,
                     if pathol is not None:
                         outs["pathology"] = pathol  # already sigmoided
                 else:
-                    outs = apply_processors(
-                        model.apply(state.params,
-                                    batch["samples"]["input"][0]), cfg)
+                    if vis_fwd is None:
+                        vis_fwd = jax.jit(
+                            lambda p, x, c: apply_processors(
+                                model.apply(p, x, cond=c), cfg))
+                    c = batch.get("cond")
+                    outs = vis_fwd(state.params,
+                                   batch["samples"]["input"][0],
+                                   None if c is None else c[0])
                 if vcfg is not None and vcfg.get("feat_vis"):
                     # decoder-feature strips (parity: FeatVisualizer wiring,
                     # scripts/train.py:143)
@@ -459,7 +503,9 @@ def train(cfg, model, weight_dict, loss_fn, bank, out_dir: str,
                     gstep, {k: v[0] for k, v in batch["samples"].items()},
                     {k: v[0] for k, v in batch["targets"].items()},
                     {k: v for k, v in outs.items() if k != "feat"})
-        stats = {f"train_{k}": m.global_avg for k, m in mlog.meters.items()}
+        ep_mean = jax.tree.map(lambda *xs: jnp.mean(jnp.stack(xs)),
+                               *metric_hist)
+        stats = {f"train_{k}": float(v) for k, v in ep_mean.items()}
         stats.update({"epoch": epoch, "epoch_time": time.time() - t_ep})
 
         if val_itr and (epoch + 1) % val_itr == 0:
@@ -475,6 +521,11 @@ def train(cfg, model, weight_dict, loss_fn, bank, out_dir: str,
                     val_batches = make_val_set(bank, scfg, tasks, input_modes,
                                                knobs, seed, n_val_items,
                                                batch_items)
+                # same conditioning as training (mask/flip channels) so
+                # val losses are comparable and the conditioned model sees
+                # the input width it was built with
+                val_batches = [apply_condition(b, cfg.get("condition"))
+                               for b in val_batches]
                 if twostage_models is not None:
                     eval_step = make_twostage_eval_step(
                         pathol_model, task_model, cfg, weight_dict, loss_fn)
