@@ -561,7 +561,14 @@ class TwoStageInferencer:
         def fwd(pp, tp, x):
             out = twostage_forward(self.pathol_model, self.task_model, pp, tp,
                                    x, self.cfg)
-            return apply_processors(out, self.cfg)
+            # stage-0 pathology is already sigmoided by twostage_forward;
+            # apply_processors would sigmoid it AGAIN (compressing served
+            # masks into [0.5, 0.73]) — same guard as step.py/loop.py
+            pathol = out.get("pathology")
+            out = apply_processors(out, self.cfg)
+            if pathol is not None:
+                out["pathology"] = pathol
+            return out
 
         self._jitted = jax.jit(fwd)
 

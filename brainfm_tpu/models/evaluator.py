@@ -178,9 +178,9 @@ EVAL_LABELS = [0, 14, 15, 16, 24, 77, 85, 2, 3, 4, 7, 8, 10, 11, 12, 13,
 N_NEUTRAL_EVAL = 7
 
 # left-hemisphere label list for hemisphere-prediction masking
-# (scripts/test.py:23-35)
-LEFT_HEMIS_LABELS = [0, 1, 2, 3, 4, 7, 8, 9, 10, 14, 15, 17, 31, 34, 36,
-                     38, 40, 42]
+# (scripts/test.py:23-35) — single source of truth lives next to the
+# training label tables so a revision can't desynchronize the two
+from .build import LABELS_LEFT as LEFT_HEMIS_LABELS  # noqa: E402
 
 
 def align_shape(a, b):
@@ -299,14 +299,27 @@ class Evaluator:
             if metric == "dice":
                 key = "label" if "seg" in prefix else "pathology"
                 if key in outputs and key in targets:
+                    # default to the 33-label eval list (like label_onehot);
+                    # [1] is not even a produced FreeSurfer id, so dice on
+                    # it would score two empty masks as a constant 1.0
                     res[name] = float(seg_dice(outputs[key].squeeze(),
                                                targets[key].squeeze(),
-                                               self.labels or [1]))
+                                               self.labels or EVAL_LABELS))
                 continue
             src = {"recon": "T1", "sr": "high_res", "bf": "bias_field",
                    "feat": "T1"}.get(prefix, prefix)
             if src in outputs and src in targets:
                 fn = METRIC_MAP[metric]
-                res[name] = float(fn(outputs[src].squeeze(),
-                                     targets[src].squeeze()))
+                a = np.asarray(outputs[src]).squeeze()
+                b = np.asarray(targets[src]).squeeze()
+                # multi-sample outputs (S, D, H, W): score per sample and
+                # average — ssim's 3-D filter would otherwise blur ACROSS
+                # the sample axis and never along W
+                if a.ndim == 4 and b.ndim == 3:
+                    res[name] = float(np.mean([float(fn(ai, b)) for ai in a]))
+                elif a.ndim == 4 and b.ndim == 4:
+                    res[name] = float(np.mean(
+                        [float(fn(ai, bi)) for ai, bi in zip(a, b)]))
+                else:
+                    res[name] = float(fn(a, b))
         return res

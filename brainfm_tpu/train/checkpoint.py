@@ -59,10 +59,13 @@ def finalize_pending():
         if keep > 0:
             import shutil
 
-            old = sorted(p for p in glob.glob(
+            # numeric sort: lexicographic puts ckpt_1000000 BEFORE
+            # ckpt_999999, so past step 1e6 a name sort would GC the
+            # newest checkpoints and keep stale ones
+            old = sorted((p for p in glob.glob(
                 os.path.join(ckpt_dir, "ckpt_[0-9]*"))
                 if "tmp" not in os.path.basename(p)
-                and os.path.isdir(p))[:-keep]
+                and os.path.isdir(p)), key=step_from_path)[:-keep]
             for p in old:
                 shutil.rmtree(p, ignore_errors=True)
                 if os.path.isfile(p + ".extra.json"):
@@ -161,8 +164,10 @@ def latest_checkpoint(ckpt_dir: str):
     ckpt_best_bk out — 'b' sorts after every digit, so a bare ckpt_* glob
     would resume from a stale best instead of the newest step."""
     finalize_pending()  # an in-flight async save only exists as a tmp dir
-    paths = sorted(p for p in glob.glob(os.path.join(ckpt_dir, "ckpt_[0-9]*"))
-                   if "tmp" not in os.path.basename(p) and os.path.isdir(p))
+    paths = sorted((p for p in glob.glob(
+        os.path.join(ckpt_dir, "ckpt_[0-9]*"))
+        if "tmp" not in os.path.basename(p) and os.path.isdir(p)),
+        key=step_from_path)  # numeric: names sort wrong past step 1e6
     return paths[-1] if paths else None
 
 
@@ -170,9 +175,15 @@ def load_checkpoint(path: str, abstract_state):
     """Restore into the structure of `abstract_state` (a TrainState-shaped
     pytree of ShapeDtypeStructs or concrete arrays)."""
     ckptr = ocp.StandardCheckpointer()
+    # pass the step leaf through unwrapped: np.asarray on a
+    # ShapeDtypeStruct yields a 0-d OBJECT array orbax cannot restore
+    # into, breaking the documented abstract-pytree use
+    step_t = abstract_state.step
+    if not isinstance(step_t, jax.ShapeDtypeStruct):
+        step_t = np.asarray(step_t)
     target = {"params": abstract_state.params,
               "opt_state": abstract_state.opt_state,
-              "step": np.asarray(abstract_state.step)}
+              "step": step_t}
     restored = ckptr.restore(os.path.abspath(path), target)
     from .step import TrainState
 

@@ -152,9 +152,19 @@ def make_twostage_eval_step(pathol_model, task_model, cfg, weight_dict,
     from ..models.build import twostage_forward
     from ..models.criterion import weighted_total
 
+    from ..models.build import apply_processors
+
     def per_item(params, samples, targets):
         out = twostage_forward(pathol_model, task_model, params["pathol"],
                                params["task"], samples["input"], cfg)
+        # mirror the training twin (step.py twostage per_item): processors
+        # run (seg softmax/log, distance clip, uncertainty split) but the
+        # stage-0 pathology is already sigmoided — keep it, don't
+        # double-squash it
+        pathol = out.get("pathology")
+        out = apply_processors(out, cfg)
+        if pathol is not None:
+            out["pathology"] = pathol
         return loss_fn(out, targets, samples)
 
     def step(params, batch, critic_params=None):
@@ -292,6 +302,14 @@ def train(cfg, model, weight_dict, loss_fn, bank, out_dir: str,
             raise ValueError("losses.implicit_pathol is not supported with "
                              "two-stage training (the reference's twostage "
                              "engine has no PatholSeg critic either)")
+        if cfg.get("condition"):
+            # apply_condition would erase the ground-truth pathology from
+            # the input BEFORE stage-0 ever sees it (and the cond channel
+            # is not consumed by the twostage step) — stage-0 would train
+            # to predict pathology from images where it is already gone
+            raise ValueError("cfg.condition is not supported with two-stage "
+                             "training: stage-1 is conditioned on stage-0's "
+                             "predicted mask internally")
         from .step import make_twostage_train_step
 
         step_fn = make_twostage_train_step(
@@ -503,7 +521,10 @@ def train(cfg, model, weight_dict, loss_fn, bank, out_dir: str,
                     gstep, {k: v[0] for k, v in batch["samples"].items()},
                     {k: v[0] for k, v in batch["targets"].items()},
                     {k: v for k, v in outs.items() if k != "feat"})
-        ep_mean = jax.tree.map(lambda *xs: jnp.mean(jnp.stack(xs)),
+        # nanmean: skipped steps report NaN losses (step.py _finite_update)
+        # and must not poison the epoch averages; 'skipped' itself is 0/1
+        # so its mean stays the skip fraction
+        ep_mean = jax.tree.map(lambda *xs: jnp.nanmean(jnp.stack(xs)),
                                *metric_hist)
         stats = {f"train_{k}": float(v) for k, v in ep_mean.items()}
         stats.update({"epoch": epoch, "epoch_time": time.time() - t_ep})

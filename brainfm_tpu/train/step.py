@@ -86,6 +86,35 @@ def build_optimizer(cfg):
                                                              or 0.0))
 
 
+def _finite_update(state: TrainState, optimizer, total, losses, grads,
+                   lr, wd):
+    """Shared skip-on-non-finite optimizer update (parity:
+    engine.py:131-145 — the reference hard-skips the whole optimizer.step
+    on a bad batch, so params AND opt state (Adam moments, bias-correction
+    count) must be untouched). Skipped steps report their loss metrics as
+    NaN so the epoch aggregation (nanmean, train/loop.py) excludes them —
+    the reference `continue`s before logging, so its curves never contain
+    the bad value either; 'skipped' stays 0/1 so its mean is the skip
+    fraction."""
+    finite = jnp.isfinite(total)
+    for g in jax.tree.leaves(grads):
+        finite = finite & jnp.all(jnp.isfinite(g))
+    grads = jax.tree.map(lambda g: jnp.where(finite, g, 0.0), grads)
+    opt_state = state.opt_state
+    opt_state.hyperparams["learning_rate"] = lr
+    opt_state.hyperparams["weight_decay"] = wd
+    updates, new_opt = optimizer.update(grads, opt_state, state.params)
+    updates = jax.tree.map(lambda u: jnp.where(finite, u, 0.0), updates)
+    new_params = optax.apply_updates(state.params, updates)
+    new_opt = jax.tree.map(lambda new, old: jnp.where(finite, new, old),
+                           new_opt, opt_state)
+    nan = jnp.asarray(jnp.nan, jnp.float32)
+    metrics = {k: jnp.where(finite, v, nan) for k, v in losses.items()}
+    metrics["loss_total"] = jnp.where(finite, total, nan)
+    metrics["skipped"] = 1.0 - finite.astype(jnp.float32)
+    return TrainState(new_params, new_opt, state.step + 1), metrics
+
+
 def make_train_step(model, cfg, weight_dict, loss_fn: Callable, optimizer,
                     donate: bool = True, critic=None,
                     critic_image_key: str = "T1"):
@@ -130,29 +159,7 @@ def make_train_step(model, cfg, weight_dict, loss_fn: Callable, optimizer,
     def step(state: TrainState, batch, lr, wd):
         (total, losses), grads = jax.value_and_grad(
             loss_and_metrics, has_aux=True)(state.params, batch)
-
-        # skip non-finite updates (parity: engine.py:131-145). The reference
-        # hard-skips the whole optimizer.step, so on a bad batch params AND
-        # opt state (Adam moments, bias-correction count) must be untouched.
-        finite = jnp.isfinite(total)
-        gleaves = jax.tree.leaves(grads)
-        for g in gleaves:
-            finite = finite & jnp.all(jnp.isfinite(g))
-        grads = jax.tree.map(lambda g: jnp.where(finite, g, 0.0), grads)
-
-        opt_state = state.opt_state
-        opt_state.hyperparams["learning_rate"] = lr
-        opt_state.hyperparams["weight_decay"] = wd
-        updates, new_opt = optimizer.update(grads, opt_state, state.params)
-        updates = jax.tree.map(lambda u: jnp.where(finite, u, 0.0), updates)
-        new_params = optax.apply_updates(state.params, updates)
-        new_opt = jax.tree.map(lambda new, old: jnp.where(finite, new, old),
-                               new_opt, opt_state)
-        new_state = TrainState(new_params, new_opt, state.step + 1)
-        metrics = dict(losses)
-        metrics["loss_total"] = total
-        metrics["skipped"] = 1.0 - finite.astype(jnp.float32)
-        return new_state, metrics
+        return _finite_update(state, optimizer, total, losses, grads, lr, wd)
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
@@ -189,21 +196,6 @@ def make_twostage_train_step(pathol_model, task_model, cfg, weight_dict,
     def step(state: TrainState, batch, lr, wd):
         (total, losses), grads = jax.value_and_grad(
             loss_and_metrics, has_aux=True)(state.params, batch)
-        finite = jnp.isfinite(total)
-        for g in jax.tree.leaves(grads):
-            finite = finite & jnp.all(jnp.isfinite(g))
-        grads = jax.tree.map(lambda g: jnp.where(finite, g, 0.0), grads)
-        opt_state = state.opt_state
-        opt_state.hyperparams["learning_rate"] = lr
-        opt_state.hyperparams["weight_decay"] = wd
-        updates, new_opt = optimizer.update(grads, opt_state, state.params)
-        updates = jax.tree.map(lambda u: jnp.where(finite, u, 0.0), updates)
-        new_params = optax.apply_updates(state.params, updates)
-        new_opt = jax.tree.map(lambda new, old: jnp.where(finite, new, old),
-                               new_opt, opt_state)
-        metrics = dict(losses)
-        metrics["loss_total"] = total
-        metrics["skipped"] = 1.0 - finite.astype(jnp.float32)
-        return TrainState(new_params, new_opt, state.step + 1), metrics
+        return _finite_update(state, optimizer, total, losses, grads, lr, wd)
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())

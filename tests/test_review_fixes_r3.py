@@ -188,3 +188,45 @@ def test_batched_serving_data_only_mesh(tmp_path):
     assert len(res) == 5
     for p in res:
         assert glob.glob(os.path.join(p, "*.nii*")), p
+
+
+def test_checkpoint_sort_numeric_past_1e6(tmp_path):
+    """latest_checkpoint / GC must sort ckpt dirs NUMERICALLY: a name sort
+    puts ckpt_1000000 before ckpt_999999, so past step 1e6 the newest
+    checkpoint would be GC'd and resume would pick a stale one."""
+    from brainfm_tpu.train.checkpoint import latest_checkpoint
+
+    for s in (999998, 999999, 1000000):
+        os.makedirs(tmp_path / f"ckpt_{s:06d}")
+    got = latest_checkpoint(str(tmp_path))
+    assert got is not None and got.endswith("ckpt_1000000")
+
+
+def test_evaluator_dice_defaults_to_eval_labels():
+    """Evaluator.eval with labels=None must score the 33-label eval list,
+    not the non-existent id 1 (which made seg_dice a constant 1.0)."""
+    from brainfm_tpu.models.evaluator import EVAL_LABELS, Evaluator
+
+    rng = np.random.default_rng(0)
+    gt = rng.choice(EVAL_LABELS[1:9], (12, 12, 12))
+    pred_good = gt.copy()
+    pred_bad = np.roll(gt, 4, axis=0)
+    ev = Evaluator(["seg_dice"])
+    good = ev.eval({"label": pred_good}, {"label": gt})["seg_dice"]
+    bad = ev.eval({"label": pred_bad}, {"label": gt})["seg_dice"]
+    assert good > 0.99
+    assert bad < good - 0.05  # imperfect predictions must score lower
+
+
+def test_evaluator_multisample_ssim():
+    """(S, D, H, W) outputs score per sample and average — the 3-D ssim
+    filter must never blur across the sample axis."""
+    from brainfm_tpu.models.evaluator import Evaluator
+
+    rng = np.random.default_rng(1)
+    t = rng.random((16, 16, 16)).astype(np.float32)
+    out = np.stack([t, t])  # two identical perfect samples
+    ev = Evaluator(["recon_ssim", "recon_l1"])
+    res = ev.eval({"T1": out[..., None]}, {"T1": t[..., None]})
+    assert res["recon_ssim"] > 0.999
+    assert res["recon_l1"] < 1e-6
