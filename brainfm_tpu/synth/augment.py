@@ -19,9 +19,20 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.blur import gaussian_blur_3d
-from .deform import small_field_buffer_shape, zoom_from_effective
+from .deform import zoom_from_effective
 
-MAX_BLUR_SIGMA = 4.0  # static cap: max thickness 6mm -> sigma ~3.5 (utils.py:592)
+
+def _max_blur_sigma(cfg) -> float:
+    """Static blur-kernel cap derived from the worst-case slice-thickness
+    sigma: 1.15 * ln5/pi * max_thickness / min(res_training_data)
+    (utils.py:592 with the 0.85-1.15 jitter at its max). A fixed 4.0 was
+    only valid at 1 mm training resolution — finer res_training_data
+    needs a wider kernel or the Gaussian is silently truncated."""
+    res = [float(r) for r in
+           (getattr(cfg, "res_training_data", None) or (1.0, 1.0, 1.0))]
+    max_thick = float(getattr(cfg, "max_thickness", None) or 6.0)
+    sig = 1.15 * math.log(5.0) / math.pi * max_thick / max(min(res), 1e-3)
+    return max(4.0, sig)
 
 
 def gamma_transform(key, img, gamma_std, gamma=None):
@@ -42,6 +53,10 @@ def sample_bias_field(key, cfg, setup, knobs, bf_scale=None, std=None,
     if bf_scale is None:
         bf_scale = knobs["bf_scale_min"] + jax.random.uniform(k1) * (
             knobs["bf_scale_max"] - knobs["bf_scale_min"])
+    # the static buffer below is sized from cfg.bf_scale_max; a traced
+    # knob above it would make eff exceed the buffer and silently zero
+    # the field toward the high end of each axis — clamp loudly instead
+    bf_scale = jnp.minimum(bf_scale, jnp.float32(cfg.bf_scale_max))
     size = jnp.asarray(cfg.size, jnp.float32)
     eff = jnp.round(bf_scale * size)
     eff = eff.at[1].set(jnp.where(setup["photo_mode"] > 0,
@@ -72,7 +87,7 @@ def resample_resolution(key, img, cfg, setup, rnd=None):
         rnd = 0.85 + 0.3 * jax.random.uniform(key)
     stds = rnd * jnp.log(5.0) / jnp.pi * setup["thickness"] / res_td
     stds = jnp.where(setup["thickness"] <= res_td, 0.0, stds)
-    blurred = gaussian_blur_3d(img, stds, max_sigma=MAX_BLUR_SIGMA)
+    blurred = gaussian_blur_3d(img, stds, max_sigma=_max_blur_sigma(cfg))
 
     size = jnp.asarray(cfg.size, jnp.float32)
     new_size = jnp.floor(size * res_td / setup["resolution"])  # .astype(int) parity

@@ -21,14 +21,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.interp import nearest3d, trilinear3d
 from ..ops.pallas_lut import lut_apply
 from ..ops.warp_auto import warp_labels, warp_volume
 from .augment import augment_chain
 from .constants import (LABELS_EXTRACEREBRAL, LABELS_LEFT, build_lut,
                         build_vflip)
 from .deform import deform_grid, random_affine, random_nonlinear_field
-from .gmm import sample_contrast_lut, synth_intensities
+from .gmm import sample_contrast_lut
 from .params import SynthStatic, sample_setup
 from .pathology import (augment_pathology, binarize, encode_pathology,
                         random_shape)
@@ -45,17 +44,6 @@ def _label_tables(left: bool):
     — one construction per mode instead of one per call site."""
     labels = LABELS_LEFT if left else LABELS_EXTRACEREBRAL
     return labels, build_lut(labels), build_vflip(len(labels))
-
-
-def _deform(vol, grid, mode="linear", default=0.0, cfg=None, approx=False):
-    xx2, yy2, zz2 = grid
-    if mode == "nearest":
-        return nearest3d(vol, xx2, yy2, zz2)
-    if cfg is not None:
-        return warp_volume(vol, grid, cfg, default=default, approx=approx)
-    return trilinear3d(vol, xx2, yy2, zz2, default)
-
-
 
 
 
@@ -97,7 +85,7 @@ def _target_segmentation(seg, grid, flip, lut, vflip, cfg, hemis_mask=None,
     if deform_one_hots:
         onehot = jax.nn.one_hot(lut[jnp.clip(s, 0, lut.shape[0] - 1)],
                                 int(vflip.shape[0]), dtype=jnp.float32)
-        sd = _deform(onehot, grid, cfg=cfg, approx=cfg.approx_warp)
+        sd = warp_volume(onehot, grid, cfg, approx=cfg.approx_warp)
         flipped = jnp.flip(sd, axis=0)[..., vflip]
         return jnp.where(flip > 0, flipped, sd)
     sc = lut_apply(lut, jnp.clip(s, 0, lut.shape[0] - 1))
@@ -173,11 +161,17 @@ def make_targets(key, subject, grid, setup, sfd, cfg, tasks, extra=None,
     # the reference masks EVERY target's source crop, including defacing
     # masks, distance and registration (read_and_deform mask arg,
     # utils.py:310-311; the max default is taken AFTER masking :313-315)
+    # real-contrast mixing (mix_synth_prob) draws on the deformed
+    # T1/T2/FLAIR even when they are not requested TASKS — the reference
+    # deforms them unconditionally before mixing (datasets.py:688-691,
+    # :379-388); mix-only contrasts are popped from the returned targets
+    # by the caller (synth_item) so they never reach the criterion
+    mix_aux = extra is not None and cfg.mix_synth_prob > 0
     for t in ("T1", "T2", "FLAIR"):
-        if t in tasks and t in subject:
+        if (t in tasks or mix_aux) and t in subject:
             push(t, hmask(jnp.nan_to_num(subject[t])), 0.0)
             dm = subject.get(f"{t}_DM")
-            if dm is not None:
+            if dm is not None and t in tasks:
                 push(f"{t}_DM", hmask(jnp.nan_to_num(dm)), 0.0)
     if "CT" in tasks and "CT" in subject:
         push("CT", hmask(jnp.nan_to_num(subject["CT"]) / 1000.0), 0.0)
@@ -211,8 +205,9 @@ def make_targets(key, subject, grid, setup, sfd, cfg, tasks, extra=None,
         dvec = jnp.concatenate(
             [jnp.stack([jnp.asarray(d, jnp.float32) for d in defaults])
              if defaults else jnp.zeros((0,)), jnp.zeros((n_extra,))])
-        wall = _deform(big, grid, default=dvec, cfg=cfg,
-                       approx=cfg.approx_warp and cfg.approx_warp_targets)
+        wall = warp_volume(big, grid, cfg, default=dvec,
+                           approx=cfg.approx_warp
+                           and cfg.approx_warp_targets)
         warped = {n: wall[..., a:b] for n, (a, b) in spans.items()}
         if n_extra:
             extra_warped = wall[..., len(stack):]
@@ -466,6 +461,13 @@ def _synth_item_impl(key, subject_vals, subject_keys, cfg: SynthStatic,
         target["surface_affine_A"] = A
         target["surface_affine_c2"] = c2
         target["surface_flip"] = setup["flip"]
+
+    # drop mix-only contrasts (deformed for the real-contrast blend but
+    # not requested tasks — see make_targets) so they never reach the
+    # criterion or pad the batch
+    for t in ("T1", "T2", "FLAIR"):
+        if t not in tasks:
+            target.pop(t, None)
 
     # flip pathology targets at the very end (datasets.py:752-753)
     if "pathology" in target:

@@ -133,13 +133,22 @@ class SynthStatic:
             mild_samples=int(gv(g, "mild_samples", 0)),
             approx_warp=bool(gv(g, "approx_warp", True)),
             approx_warp_targets=bool(gv(g, "approx_warp_targets", True)),
-            aug_steps_synth=tuple(
-                (gv(cfg, "augmentation_steps", None) or {}).get(
-                    "synth", ("gamma", "bias_field", "resample", "noise"))),
-            aug_steps_real=tuple(
-                (gv(cfg, "augmentation_steps", None) or {}).get(
-                    "real", ("gamma", "bias_field", "resample", "noise"))),
+            aug_steps_synth=tuple(_aug_steps(cfg, "synth")),
+            aug_steps_real=tuple(_aug_steps(cfg, "real")),
         )
+
+
+def _aug_steps(cfg, mode: str):
+    """augmentation_steps accepts BOTH config forms: the reference's flat
+    list (one chain for synth and real, cfgs/generator/test/demo_test.yaml)
+    and the {'synth': [...], 'real': [...]} dict."""
+    default = ("gamma", "bias_field", "resample", "noise")
+    steps = cfg.get("augmentation_steps") if hasattr(cfg, "get") else None
+    if steps is None:
+        return default
+    if isinstance(steps, (list, tuple)):
+        return steps
+    return steps.get(mode, default)
 
 
 def resolution_sampler(key, low_res_only: bool = False):
@@ -167,7 +176,10 @@ def resolution_sampler(key, low_res_only: bool = False):
     res4 = 2.0 + 3.0 * u3
     thk4 = res4
 
-    branch = jnp.searchsorted(jnp.array([0.25, 0.5, 0.75]), r)
+    # side='right' so exact boundary draws (r == 0.25/0.5/0.75) fall into
+    # the branch ABOVE, matching the reference's `elif r < 0.5` bucketing —
+    # under low_res_only a left-side r=0.5 would leak the clinical branch
+    branch = jnp.searchsorted(jnp.array([0.25, 0.5, 0.75]), r, side="right")
     res = jnp.select([branch == 0, branch == 1, branch == 2],
                      [res1, res2, res3], res4)
     thk = jnp.select([branch == 0, branch == 1, branch == 2],

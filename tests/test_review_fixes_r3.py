@@ -230,3 +230,67 @@ def test_evaluator_multisample_ssim():
     res = ev.eval({"T1": out[..., None]}, {"T1": t[..., None]})
     assert res["recon_ssim"] > 0.999
     assert res["recon_l1"] < 1e-6
+
+
+def test_mix_synth_engages_without_image_tasks():
+    """mix_synth_prob must blend real contrasts even when T1/T2/FLAIR are
+    not requested TASKS (the reference deforms them unconditionally before
+    mixing, datasets.py:688-691): previously the mix silently degraded to
+    a no-op. The mix-only contrast must also NOT leak into the targets."""
+    from brainfm_tpu.synth import SynthStatic, synth_item
+    from brainfm_tpu.synth.engine import build_knobs_stack
+
+    bank = SubjectBank(bank_shape=(24, 24, 24))
+    bank.add_debug_subject(seed=0, extent=(20, 20, 20))
+    subj = bank.to_device(0)
+    assert "T1" in subj
+    tasks = ("segmentation",)
+    key = jax.random.PRNGKey(11)
+
+    def run(p):
+        scfg = SynthStatic(size=(16, 16, 16), all_samples=1, mild_samples=1,
+                           mix_synth_prob=p)
+        knobs = build_knobs_stack(scfg, "synth")
+        return synth_item(key, subj, scfg, tasks, "synth", knobs)
+
+    t_mix, s_mix = run(1.0)
+    t_off, s_off = run(0.0)
+    assert "T1" not in t_mix and "T1" not in t_off
+    a = np.asarray(s_mix["input"])
+    b = np.asarray(s_off["input"])
+    assert not np.allclose(a, b), \
+        "mix_synth_prob=1.0 produced the identical sample — mixing no-op"
+
+
+def test_augmentation_steps_flat_list_form():
+    """The reference's flat-list augmentation_steps config form (one chain
+    for both synth and real) must parse — previously AttributeError."""
+    from brainfm_tpu.config import AttrDict
+    from brainfm_tpu.synth import SynthStatic
+
+    cfg = AttrDict.from_nested({
+        "generator": {"size": [16, 16, 16]},
+        "augmentation_steps": ["gamma", "noise"],
+    })
+    scfg = SynthStatic.from_cfg(cfg)
+    assert scfg.aug_steps_synth == ("gamma", "noise")
+    assert scfg.aug_steps_real == ("gamma", "noise")
+    # dict form still works
+    cfg2 = AttrDict.from_nested({
+        "generator": {"size": [16, 16, 16]},
+        "augmentation_steps": {"synth": ["gamma"], "real": ["noise"]},
+    })
+    scfg2 = SynthStatic.from_cfg(cfg2)
+    assert scfg2.aug_steps_synth == ("gamma",)
+    assert scfg2.aug_steps_real == ("noise",)
+
+
+def test_low_res_only_never_emits_1mm_axes():
+    """low_res_only restricts the acquisition model to the two low-field
+    branches — no draw may produce a 1 mm axis (the 1mm-iso or clinical
+    branches)."""
+    from brainfm_tpu.synth import resolution_sampler
+
+    res = jax.vmap(lambda k: resolution_sampler(k, True)[0])(
+        jax.random.split(jax.random.PRNGKey(0), 128))
+    assert float(jnp.min(res)) > 1.0
