@@ -59,19 +59,17 @@ class AttrDict(dict):
 _SCI_FLOAT = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)[eE][+-]?\d+$")
 
 
-def _coerce_scalars(obj):
-    """YAML 1.1 quirk: '1e-4'-style scientific notation without a dot is
-    parsed as str by PyYAML (the reference fixes it with an explicit float
-    resolver, utils/config.py:80-90). Only that exact shape is coerced —
-    plain decimals already arrive as floats when unquoted, and quoted
-    strings like \"2.50\" must stay strings."""
-    if isinstance(obj, dict):
-        return {k: _coerce_scalars(v) for k, v in obj.items()}
-    if isinstance(obj, list):
-        return [_coerce_scalars(v) for v in obj]
-    if isinstance(obj, str) and _SCI_FLOAT.match(obj.strip()):
-        return float(obj)
-    return obj
+class _SciFloatLoader(yaml.SafeLoader):
+    """SafeLoader + implicit float resolver for dot-less scientific
+    notation ('1e-4'), which YAML 1.1 parses as str (the reference fixes
+    the same quirk with an explicit resolver, utils/config.py:80-90).
+    Implicit resolvers fire only on PLAIN (unquoted) scalars, so a quoted
+    string like \"1e5\" stays a string — the post-hoc string coercion this
+    replaced could not tell the two apart."""
+
+
+_SciFloatLoader.add_implicit_resolver(
+    "tag:yaml.org,2002:float", _SCI_FLOAT, list("-+0123456789."))
 
 
 def recursive_update(base: dict, overrides: dict) -> dict:
@@ -87,8 +85,7 @@ def recursive_update(base: dict, overrides: dict) -> dict:
 
 def load_yaml(path: str) -> dict:
     with open(path) as f:
-        raw = yaml.safe_load(f) or {}
-    return _coerce_scalars(raw)
+        return yaml.load(f, Loader=_SciFloatLoader) or {}
 
 
 def load_config(cfg_files, cfg_dir: str = "") -> AttrDict:
@@ -116,8 +113,25 @@ def preprocess_cfg(cfg_files, cfg_dir: str = "") -> AttrDict:
 
 
 def update_out_dir(cfg: AttrDict, out_root: str = "outs") -> AttrDict:
-    """Timestamp the output directory per run (parity: utils/process_cfg.py:9-29)."""
-    stamp = time.strftime("%Y%m%d-%H%M%S")
+    """Timestamp the output directory per run (parity: utils/process_cfg.py:9-29).
+
+    Multi-host: every process must compute the SAME directory (orbax
+    checkpoint saves are collectives over one path; per-process
+    time.strftime can straddle a second boundary and split the run), so
+    the timestamp is process-0's, broadcast to all."""
+    t = int(time.time())
+    try:
+        import jax
+
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            import numpy as _np
+
+            t = int(multihost_utils.broadcast_one_to_all(
+                _np.int64(t)))
+    except Exception:
+        pass  # no backend yet / single process — local time is fine
+    stamp = time.strftime("%Y%m%d-%H%M%S", time.localtime(t))
     job = cfg.job_name or "job"
     exp = cfg.exp_name or "exp"
     cfg.out_dir = os.path.join(out_root, f"{job}-{exp}-{stamp}")

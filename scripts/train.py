@@ -113,11 +113,19 @@ def main():
     train_cfg = load_config([os.path.join(root, "cfgs/trainer/default_train.yaml"),
                              args.train_cfg],
                             cfg_dir=os.path.join(root, "cfgs/trainer/train"))
-    # merge generator tree into the trainer cfg the way build_model expects
-    for k, v in gen_cfg.items():
-        if k not in train_cfg:
-            train_cfg[k] = v
-    if args.epochs:
+    # merge generator tree into the trainer cfg the way build_model
+    # expects — RECURSIVELY: a shallow 'if k not in' merge would drop the
+    # entire generator default subtree the moment the trainer cfg carries
+    # any same-named section (e.g. a generator: {size: ...} override)
+    def _merge_missing(dst, src):
+        for k, v in src.items():
+            if k not in dst or dst[k] is None:
+                dst[k] = v
+            elif hasattr(dst[k], "items") and hasattr(v, "items"):
+                _merge_missing(dst[k], v)
+
+    _merge_missing(train_cfg, gen_cfg)
+    if args.epochs is not None:
         train_cfg.n_epochs = args.epochs
     if args.debug:
         train_cfg.n_epochs = 1
@@ -163,6 +171,15 @@ def main():
     if args.eval_only or cfg.get("eval_only"):
         # (parity: the eval_only short-circuit, scripts/train.py:176-183):
         # restore and score the fixed-seed val set, no training
+        if not args.resume:
+            ap.error("--eval_only requires --resume <checkpoint>: scoring "
+                     "a randomly initialized model would print plausible-"
+                     "looking val losses of untrained weights")
+        if args.fsdp:
+            ap.error("--eval_only does not implement FSDP state sharding; "
+                     "evaluate on a chip that fits the replicated params "
+                     "(the flagship fits inference comfortably in bf16) or "
+                     "resume training with --fsdp and read the val lines")
         cfg.n_epochs = 0
         from brainfm_tpu.train.loop import make_eval_step, make_val_set_stream
 
@@ -175,7 +192,10 @@ def main():
 
         from brainfm_tpu.infer.api import Inferencer
 
-        inf = Inferencer(cfg, ckpt_path=args.resume)
+        # thread the mesh through so a --mesh eval shards the forward the
+        # same way serving does (space axis) instead of silently running
+        # single-device
+        inf = Inferencer(cfg, ckpt_path=args.resume, mesh=mesh)
         # mirror train()'s critic so eval scores stay comparable to the
         # checkpoint's recorded best_val_stats
         from brainfm_tpu.models.build import build_critic_from_cfg
