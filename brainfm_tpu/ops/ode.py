@@ -113,9 +113,13 @@ def _fixed_grid_integrate(func, y0, t, method):
 
 
 def _adaptive_interval(func, tab, y0, t0, t1, rtol, atol, dt0,
-                       max_steps=256):
+                       max_steps=256, active=None):
     """Advance y from t0 to t1 adaptively (bounded while_loop) with the
-    embedded RK pair `tab` = (C, A, B, BERR)."""
+    embedded RK pair `tab` = (C, A, B, BERR).
+
+    `active` (optional traced bool) short-circuits the loop entirely —
+    the masked-final integrator uses it so intervals beyond the traced
+    nt cost one predicate check instead of a full adaptive solve."""
     C, A, B, BERR = tab
     n_stage = len(C)
 
@@ -125,7 +129,10 @@ def _adaptive_interval(func, tab, y0, t0, t1, rtol, atol, dt0,
 
     def cond(state):
         t, y, h, nsteps = state
-        return (t < t1 - 1e-12) & (nsteps < max_steps)
+        ok = (t < t1 - 1e-12) & (nsteps < max_steps)
+        if active is not None:
+            ok = ok & active
+        return ok
 
     def body(state):
         t, y, h, nsteps = state
@@ -283,15 +290,45 @@ def odeint_adjoint(func, y0, t, dt=None, rtol=1e-7, atol=1e-9, method=None):
     raise ValueError(f"unsupported method {method}")
 
 
-def odeint_masked_final(func, y0, t, nt, dt=None, method="rk4"):
+def odeint_masked_final(func, y0, t, nt, dt=None, method="rk4",
+                        rtol=1e-7, atol=1e-9):
     """Integrate through at most len(t) grid points but only the first `nt`
     (traced) intervals take effect; returns y(t[nt-1]).
 
     This is the jit-safe form of the generator's `t[:nt]` truncation
     (Generator/utils.py:552-554) — static trip count, masked updates.
+    Supports the full method registry the generator config offers
+    (cfgs/generator/default.yaml integ_method choices; reference
+    ShapeID/DiffEqs/odeint.py:8-17): fixed steppers run masked under
+    `lax.scan`; adaptive dopri5/tsit5 run a bounded `lax.while_loop` per
+    interval whose `active` predicate folds in the nt mask, so intervals
+    beyond nt cost one predicate check. 'adams' and the fixed Adams
+    variants route to the adaptive dopri5 controller (the scan-carried
+    derivative history of _adams_integrate cannot be masked per-interval;
+    dopri5 at the same rtol/atol meets or beats its accuracy — documented
+    substitution, PARITY.md).
     """
     t = jnp.asarray(t, y0.dtype)
-    step = _FIXED_STEPS.get(method, _rk4_step)
+    if method in ("adams", "explicit_adams", "fixed_adams"):
+        method = "dopri5"
+    if method in _TABLEAUS:
+        tab = _TABLEAUS[method]
+        dt0 = jnp.asarray(dt if dt is not None else (t[1] - t[0]), y0.dtype)
+
+        def abody(carry, x):
+            y, i = carry
+            t0, t1 = x
+            act = i < nt - 1
+            y1 = _adaptive_interval(func, tab, y, t0, t1, rtol, atol, dt0,
+                                    active=act)
+            y = jnp.where(act, y1, y)
+            return (y, i + 1), None
+
+        (y, _), _ = jax.lax.scan(abody, (y0, 0), (t[:-1], t[1:]))
+        return y
+    if method not in _FIXED_STEPS:
+        raise ValueError(f"unsupported method {method}")
+    step = _FIXED_STEPS[method]
 
     def body(carry, x):
         y, i = carry

@@ -105,20 +105,31 @@ def _target_pathology(key, subject, grid, setup, cfg):
     healthy-case routing of datasets.py:596-618). Returns (P, Pprob),
     each (*size, 1); zeroed when pathol_mode is off or mass below tol."""
     size = grid[0].shape
-    k1, k2 = jax.random.split(key)
-    use_random = setup["pathol_random_shape"] > 0
 
-    if "pathol_prob" in subject:
-        pfile = warp_volume(jnp.nan_to_num(subject["pathol_prob"]), grid,
-                            cfg, approx=cfg.approx_warp)
+    def _on(key):
+        # full shape synthesis + advection, only when pathol_mode drew on:
+        # synth_item call sites are unbatched, so this `cond` is a real
+        # branch and pathology-off items skip the Perlin + ODE cost
+        # entirely (the reference skips it by passing file_name=None,
+        # utils.py:433-434)
+        k1, k2 = jax.random.split(key)
+        use_random = setup["pathol_random_shape"] > 0
+        if "pathol_prob" in subject:
+            pfile = warp_volume(jnp.nan_to_num(subject["pathol_prob"]),
+                                grid, cfg, approx=cfg.approx_warp)
+        else:
+            pfile = jnp.zeros(size)
+            use_random = jnp.ones(()) > 0  # only the random branch exists
+        prand, _ = random_shape(k1, size, cfg)
+        pdef = jnp.where(use_random, prand, pfile)
         if cfg.augment_pathology:
-            pfile = augment_pathology(k2, pfile, cfg)
-    else:
-        pfile = jnp.zeros(size)
-        use_random = jnp.ones(()) > 0  # only the random branch exists
+            # the reference advects BOTH branches — random shapes and
+            # real lesion files alike (utils.py:441-442)
+            pdef = augment_pathology(k2, pdef, cfg)
+        return pdef
 
-    prand, _ = random_shape(k1, size, cfg)
-    pdef = jnp.where(use_random, prand, pfile)
+    pdef = jax.lax.cond(setup["pathol_mode"] > 0, _on,
+                        lambda _k: jnp.zeros(size), key)
 
     p = binarize(pdef, cfg.pathol_thres)
     alive = (setup["pathol_mode"] > 0) & (jnp.mean(p) > cfg.pathol_tol)

@@ -58,7 +58,7 @@ class SynthStatic:
     max_nt: int = 10
     pathol_thres: float = 0.5
     pathol_tol: float = 1e-7
-    integ_method: str = "rk4"
+    integ_method: str = "dopri5"  # reference default (default.yaml:117)
     bc: str = "neumann"
     # intra-subject sampling (cfgs/generator/train/brain_id.yaml)
     all_samples: int = 4
@@ -127,7 +127,7 @@ class SynthStatic:
             max_nt=int(gv(sg, "max_nt", 10)),
             pathol_thres=float(gv(sg, "pathol_thres", 0.5)),
             pathol_tol=float(gv(sg, "pathol_tol", 1e-7)),
-            integ_method=str(gv(sg, "integ_method", "rk4")),
+            integ_method=str(gv(sg, "integ_method", "dopri5")),
             bc=str(gv(sg, "bc", "neumann")),
             all_samples=int(gv(g, "all_samples", 1)),
             mild_samples=int(gv(g, "mild_samples", 0)),

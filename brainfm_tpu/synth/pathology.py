@@ -37,9 +37,12 @@ def augment_pathology(key, pprob, cfg):
     """Advect the lesion probability with a random divergence-free velocity
     for a random number of steps (parity: Generator/utils.py:542-560).
 
-    nt is a traced draw in [1, max_nt]; integration uses the masked
-    fixed-step form (ops/ode.odeint_masked_final) so the trip count stays
-    static under jit."""
+    nt is a traced draw in [1, max_nt]; integration uses the masked-final
+    form (ops/ode.odeint_masked_final) so the trip count stays static
+    under jit. `cfg.integ_method` is honored as configured — the
+    reference's default adaptive dopri5 (cfgs/generator/default.yaml:117,
+    odeint defaults rtol=1e-7/atol=1e-9, ShapeID/DiffEqs/odeint.py:20)
+    runs a bounded per-interval `while_loop` composed with the nt mask."""
     k1, k2 = jax.random.split(key)
     nt = jax.random.randint(k1, (), 1, cfg.max_nt + 1)
     v = velocity_3d(k2, pprob.shape, cfg.perlin_res, cfg.v_multiplier)
@@ -49,9 +52,8 @@ def augment_pathology(key, pprob, cfg):
                           v["Vz"][None], bc=cfg.bc)[0]
 
     ts = jnp.arange(cfg.max_nt) * cfg.dt
-    out = odeint_masked_final(f, pprob, ts, nt,
-                              method="rk4" if cfg.integ_method == "dopri5"
-                              else cfg.integ_method)
+    out = odeint_masked_final(f, pprob, ts, nt, dt=cfg.dt,
+                              method=cfg.integ_method)
     # nt<=1 leaves the input untouched (utils.py:546-547)
     return jnp.where(nt <= 1, pprob, out)
 
