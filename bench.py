@@ -46,12 +46,19 @@ import jax.numpy as jnp
 from brainfm_tpu.utils.cache import (looks_like_cache_poisoning,
                                      setup_compilation_cache)
 
-# log WHY any graph misses the persistent cache (the r2 driver run burned
-# 412 s recompiling the whole-volume graph despite 49 MB of cache entries —
-# the miss reason is the diagnostic we were missing). Harmless to the
-# contract now: fd 1 is already stderr.
+# BRAINFM_EXPLAIN_MISSES=1 logs WHY any graph misses the persistent cache
+# (the r2 driver run burned 412 s recompiling the whole-volume graph
+# despite 49 MB of cache entries). OPT-IN ONLY: jax's own explanation code
+# CRASHES the traced computation when a previously-seen function misses
+# with a short cache-key payload — partial_eval.diff_tracing_cache_keys
+# unpacks `(tree, dbg, qdd, *_)` from a 2-element key and raises
+# `ValueError: not enough values to unpack (expected at least 3, got 2)`
+# (reproduced 2026-08-20 on warp_auto's reused lax.cond branches; jax 0.8
+# bug, not ours). A diagnostics flag must never be able to kill the
+# contract run.
 try:
-    jax.config.update("jax_explain_cache_misses", True)
+    if os.environ.get("BRAINFM_EXPLAIN_MISSES") == "1":
+        jax.config.update("jax_explain_cache_misses", True)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 except Exception:
     pass

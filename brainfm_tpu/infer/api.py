@@ -248,9 +248,11 @@ class Inferencer:
         else:
             outs = tiled_apply(apply_fn, self.params, vol, stride, win_size)
         if run_postprocess:
+            # same jitted postprocess as evaluate_image — eager it pays
+            # the ~25 ms relay round-trip per jnp op (~25 ops) on every
+            # served volume (see _post)
             outs = {k: v[None] for k, v in outs.items()}
-            outs = postprocess(outs, self.cfg,
-                               samples={"input": jnp.asarray(vol)[None, ..., None]})
+            outs = self._jitted_post(outs, jnp.asarray(vol)[None, ..., None])
             outs = {k: (v[0] if hasattr(v, "ndim") and v.ndim >= 4 else v)
                     for k, v in outs.items()}
         return outs

@@ -62,7 +62,7 @@ def _lut_pallas(idx_flat, table, interpret=False):
         out_specs=pl.BlockSpec((1, C, N), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(idx_flat.reshape(T, 1, N), table.astype(jnp.float32))
+    )(idx_flat.reshape(T, 1, N), table)
     return out
 
 
@@ -92,7 +92,12 @@ def lut_apply(table, idx, interpret=False):
         pad = -n % _N
         idx_flat = jnp.pad(idx.reshape(-1).astype(jnp.int32), (0, pad),
                            constant_values=-1)
-        out = _lut_pallas(idx_flat, tbl, interpret=interpret)   # (T, C, N)
+        # cast OUTSIDE the jit boundary: an i32 vs f32 table of the same
+        # shape otherwise lands as two _lut_pallas trace-cache entries
+        # (round-3 bench logged the i32[56,1]/f32 flip as repeated
+        # TRACING CACHE MISSes at this line)
+        out = _lut_pallas(idx_flat, tbl.astype(jnp.float32),
+                          interpret=interpret)                  # (T, C, N)
         out = out.transpose(0, 2, 1).reshape(-1, C)[:n].reshape(*shp, C)
         if integer:
             # integer tables (< 2^24) survive the f32 accumulation exactly

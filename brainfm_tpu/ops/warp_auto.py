@@ -75,14 +75,22 @@ def pallas_backend() -> bool:
     return plat in ("tpu", "axon")
 
 
+def _cfg_get(cfg, name, default):
+    """getattr that also treats None as missing: AttrDict configs return
+    None for absent keys (never raising), which silently defeats plain
+    getattr defaults — float(None) crashes at the first warp."""
+    v = getattr(cfg, name, None)
+    return default if v is None else v
+
+
 def svf_trim_margin(cfg) -> float:
     """Within-tile SVF spread allowance: adjacent low-res nodes are
     independent N(0, nonlin_std) draws, pairwise spread std sqrt(2)*std;
     2.5 sigma covers the practical tail (items overflowing it recompute
     exactly — see _overflow_guard)."""
-    if not getattr(cfg, "nonlinear_transform", True):
+    if not _cfg_get(cfg, "nonlinear_transform", True):
         return 1.0
-    return 2.5 * 1.4142135 * float(getattr(cfg, "nonlin_std_max", 4.0))
+    return 2.5 * 1.4142135 * float(_cfg_get(cfg, "nonlin_std_max", 4.0))
 
 
 @lru_cache(maxsize=32)
@@ -115,7 +123,30 @@ def _blocks_plan(bounds):
     return _TILE, capped
 
 
-def _overflow_guard(out_and_count, exact_fn):
+def _raise_if_overflowed(c):
+    if int(c) > 0:
+        raise RuntimeError(
+            f"pallas warp: {int(c)} voxels left the static patch "
+            "(deformation beyond planned trim) — widen bounds in "
+            "the cfg or disable PALLAS_WARP")
+
+
+def _take_kernel(out, vol, ii, jj, kk, default):
+    del vol, ii, jj, kk, default
+    return out
+
+
+def _exact_linear(out, vol, ii, jj, kk, default):
+    return trilinear3d(vol, ii, jj, kk, default).astype(out.dtype)
+
+
+def _exact_nearest(out, vol, ii, jj, kk, default):
+    del default
+    return nearest3d(vol, ii, jj, kk).astype(out.dtype)
+
+
+def _overflow_guard(out_and_count, exact_branch, vol, ii, jj, kk,
+                    default=0.0):
     """Kernel result with an exact-recompute fallback.
 
     The static patch clamps coordinates that leave it and counts them in
@@ -126,26 +157,25 @@ def _overflow_guard(out_and_count, exact_fn):
     branch executes only on overflow; measured 0 overflows over 82M
     voxels / 20 real-bounds draws, v5e 2026-08-17). Note: under `vmap`
     batching a `cond` lowers to a both-branches `select` — the warp sites
-    in synth/ and infer/ are plain (unbatched) calls."""
+    in synth/ and infer/ are plain (unbatched) calls.
+
+    Branches are module-level functions taking the warp inputs as cond
+    OPERANDS: per-call lambdas gave every cond a fresh callee identity,
+    defeating jax's trace cache and retracing the warp on each eager call
+    (round-3 bench logged `TRACING CACHE MISS ... warp_auto.py:142 ...
+    re-defined repeatedly`)."""
     out, count = out_and_count
     if DEBUG_OVERFLOW:
-        def _raise_if(c):
-            if int(c) > 0:
-                raise RuntimeError(
-                    f"pallas warp: {int(c)} voxels left the static patch "
-                    "(deformation beyond planned trim) — widen bounds in "
-                    "the cfg or disable PALLAS_WARP")
-
-        jax.debug.callback(_raise_if, count)
-    return jax.lax.cond(count > 0,
-                        lambda: exact_fn().astype(out.dtype),
-                        lambda: out)
+        jax.debug.callback(_raise_if_overflowed, count)
+    return jax.lax.cond(count > 0, exact_branch, _take_kernel,
+                        out, vol, ii, jj, kk,
+                        jnp.asarray(default, jnp.float32))
 
 
 def _cfg_bounds(cfg):
-    return (float(getattr(cfg, "max_rotation", 15.0)),
-            float(getattr(cfg, "max_shear", 0.2)),
-            float(getattr(cfg, "max_scaling", 0.2)),
+    return (float(_cfg_get(cfg, "max_rotation", 15.0)),
+            float(_cfg_get(cfg, "max_shear", 0.2)),
+            float(_cfg_get(cfg, "max_scaling", 0.2)),
             svf_trim_margin(cfg))
 
 
@@ -166,7 +196,7 @@ def warp_labels(vol, grid, cfg):
             return _overflow_guard(
                 warp_blocks(vol, ii, jj, kk, 0.0, tile=tile, trim=trim,
                             mode="nearest", compute_dtype=jnp.bfloat16),
-                lambda: nearest3d(vol, ii, jj, kk))
+                _exact_nearest, vol, ii, jj, kk)
     return nearest3d(vol, ii, jj, kk)
 
 
@@ -186,5 +216,5 @@ def warp_volume(vol, grid, cfg, default=0.0, approx=False):
             return _overflow_guard(
                 warp_blocks(vol, ii, jj, kk, default, tile=tile, trim=trim,
                             compute_dtype=cdt),
-                lambda: trilinear3d(vol, ii, jj, kk, default))
+                _exact_linear, vol, ii, jj, kk, default)
     return trilinear3d(vol, ii, jj, kk, default)

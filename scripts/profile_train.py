@@ -32,6 +32,12 @@ def main():
     ap.add_argument("--modes", default="full,save_convs",
                     help="comma list from {off,full,save_convs}")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--ledger", action="store_true",
+                    help="print XLA cost analysis (FLOPs incl. remat "
+                         "recompute, HBM bytes) for each mode's compiled "
+                         "step instead of timing it — the train-step MFU "
+                         "ledger (BASELINE.md). CPU-safe: lowering only, "
+                         "no execution")
     args = ap.parse_args()
 
     valid_modes = {"off", "full", "save_convs"}
@@ -98,6 +104,33 @@ def main():
         params = jax.jit(model.init)(jax.random.PRNGKey(0), xt)
         state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
         step = make_train_step(model, cfg, wd, loss_fn, opt, donate=True)
+        if args.ledger:
+            # XLA's own accounting of the compiled step: FLOPs here INCLUDE
+            # remat recompute (the HLO contains the recomputed ops), and
+            # bytes-accessed is post-fusion HBM traffic — the two numbers
+            # the MFU ledger needs. Optimizer state traffic is reported
+            # separately from first principles (adamw: read p,m,v,g; write
+            # p,m,v — 7 fp32 streams over the param count).
+            try:
+                lowered = step.lower(state, batch, 1e-4, 0.0)
+                ca = lowered.compile().cost_analysis()
+                ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+                flops = float(ca.get("flops", 0.0))
+                byts = float(ca.get("bytes accessed", 0.0))
+                n_par = sum(np.prod(x.shape) for x in
+                            jax.tree_util.tree_leaves(params))
+                opt_gb = 7 * 4 * n_par / 1e9
+                print(f"{mode:<12s} XLA flops {flops / 1e12:8.2f} TF   "
+                      f"bytes {byts / 2**30:7.2f} GiB @{s}^3 "
+                      f"L{args.levels} f{args.f_maps}")
+                print(f"{'':<12s} params {n_par / 1e6:.1f} M -> adamw "
+                      f"traffic ~{opt_gb:.1f} GB/step (7 fp32 streams)")
+            except Exception as e:
+                print(f"{mode:<12s} LEDGER FAILED: {type(e).__name__}: {e}")
+            del state, params, step, model
+            import gc
+            gc.collect()
+            continue
         try:
             # both the warm-up AND the timed reps can fail (OOM may first
             # appear once donated steady-state buffers settle) — either

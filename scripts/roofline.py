@@ -17,6 +17,7 @@ Measurement discipline (see .claude/skills/verify/SKILL.md):
 """
 
 import argparse
+import os
 import sys
 import time
 
@@ -46,7 +47,11 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_explain_cache_misses", True)
+    # opt-in: jax's miss-explanation code can CRASH the traced computation
+    # on reused-function misses (see bench.py) — probes must not die for a
+    # diagnostic
+    if os.environ.get("BRAINFM_EXPLAIN_MISSES") == "1":
+        jax.config.update("jax_explain_cache_misses", True)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     N = args.chain

@@ -213,6 +213,14 @@ def main():
                   mesh=mesh, batch_items=batch_items, fsdp=args.fsdp,
                   twostage_models=twostage_models)
     print("training done; final step", int(state.step))
+    try:
+        ms = jax.local_devices()[0].memory_stats() or {}
+        peak = ms.get("peak_bytes_in_use")
+        if peak:
+            print(f"device HBM peak: {peak / 2**30:.2f} GiB "
+                  f"(limit {ms.get('bytes_limit', 0) / 2**30:.2f} GiB)")
+    except Exception:
+        pass  # backend without memory_stats (e.g. CPU)
 
 
 if __name__ == "__main__":

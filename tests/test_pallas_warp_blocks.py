@@ -136,7 +136,7 @@ def test_overflow_guard_recomputes_exactly():
     routed result must then equal the exact gather via the lax.cond
     fallback (ops/warp_auto._overflow_guard), not the clamped kernel
     output."""
-    from brainfm_tpu.ops.warp_auto import _overflow_guard
+    from brainfm_tpu.ops.warp_auto import _exact_linear, _overflow_guard
 
     rng = np.random.default_rng(11)
     D = H = W = 72
@@ -150,7 +150,7 @@ def test_overflow_guard_recomputes_exactly():
     ref = trilinear3d(vol, ii, jj, kk, default=-7.0)
     assert not np.allclose(np.asarray(kout[0]), np.asarray(ref)), \
         "clamped kernel output should differ when voxels overflow"
-    out = _overflow_guard(kout, lambda: trilinear3d(vol, ii, jj, kk, -7.0))
+    out = _overflow_guard(kout, _exact_linear, vol, ii, jj, kk, -7.0)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
     # and with NO overflow the kernel's own result is kept
@@ -158,5 +158,8 @@ def test_overflow_guard_recomputes_exactly():
                      trim=(48, 48, 72), compute_dtype=jnp.float32,
                      interpret=True)
     assert int(k2[1]) == 0
-    out2 = _overflow_guard(k2, lambda: jnp.full_like(ref, jnp.nan))
+    def _nan_branch(out, vol, ii, jj, kk, default):
+        return jnp.full_like(out, jnp.nan)
+
+    out2 = _overflow_guard(k2, _nan_branch, vol, ii, jj, kk, -7.0)
     np.testing.assert_allclose(np.asarray(out2), np.asarray(k2[0]))
