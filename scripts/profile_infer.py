@@ -47,7 +47,9 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    from brainfm_tpu.utils.cache import setup_compilation_cache
+
+    setup_compilation_cache()
 
     from brainfm_tpu.config import AttrDict
     from brainfm_tpu.infer.api import Inferencer

@@ -46,7 +46,9 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    from brainfm_tpu.utils.cache import setup_compilation_cache
+
+    setup_compilation_cache()
     # opt-in: jax's miss-explanation code can CRASH the traced computation
     # on reused-function misses (see bench.py) — probes must not die for a
     # diagnostic

@@ -15,11 +15,11 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
+import jax  # noqa: F401  (backend config must precede brainfm imports)
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(os.path.dirname(
-                      os.path.abspath(__file__))), ".jax_cache"))
+from brainfm_tpu.utils.cache import setup_compilation_cache
+
+setup_compilation_cache()
 
 from brainfm_tpu.config import load_config
 from brainfm_tpu.models.evaluator import Evaluator, hemis_mask_from

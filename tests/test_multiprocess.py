@@ -36,7 +36,14 @@ os._exit(0)
 
 
 def test_two_process_global_mesh(tmp_path):
-    port = "12391"
+    # dynamic port (a fixed one collides with concurrent runs) and a long
+    # deadline: under a saturated machine the coordination handshake +
+    # 2x CPU jit can exceed 240 s (observed flake, 2026-08-21)
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = str(s.getsockname()[1])
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
     env["PYTHONPATH"] = ""
@@ -46,7 +53,7 @@ def test_two_process_global_mesh(tmp_path):
         text=True) for i in range(2)]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=240)
+        out, _ = p.communicate(timeout=600)
         outs.append(out)
         assert p.returncode == 0, out[-2000:]
     # ranks contribute (1+1) + (2+2) over their 2 local devices each
