@@ -97,8 +97,15 @@ def _phase_pair_conv(enc, z, kernel):
     yb = jax.lax.conv_general_dilated(z, kph, (1, 1, 1), "SAME",
                                       dimension_numbers=dn)
     b, dc, hc, wc = yb.shape[:4]
-    yb = yb.reshape(b, dc, hc, wc, 2, 2, 2, co)
-    yb = yb.transpose(0, 1, 4, 2, 5, 3, 6, 7)  # depth-to-space interleave
+    # depth-to-space interleave, keeping the (r-phase, co) pair FUSED as
+    # one 2*co minor dim: element order is identical to the split form
+    # ((w,2co) row-major == (2w,co) row-major), but the materialized
+    # transpose then has a lane-filling minor dim — the split form's
+    # (2, co<=64) tail tiles at T(2,128) with 2x padding, which at
+    # S=2 x 128^3 training cost a 2.00 GiB HLO temp for 1.00 GiB of data
+    # (measured OOM dump, 2026-08-21)
+    yb = yb.reshape(b, dc, hc, wc, 2, 2, 2 * co)
+    yb = yb.transpose(0, 1, 4, 2, 5, 3, 6)
     yb = yb.reshape(b, 2 * dc, 2 * hc, 2 * wc, co)
     return ya + yb
 

@@ -88,6 +88,17 @@ def main():
                          "or 4x2 (batch over data, volume D over space)")
     ap.add_argument("--batch_items", type=int, default=0,
                     help="items per step (0 = cfg.batch_size)")
+    ap.add_argument("--remat", default=None,
+                    choices=["off", "full", "save_convs"],
+                    help="override cfg.remat (memory/speed trade: 'full' "
+                         "fits the largest single-chip crops, 'save_convs' "
+                         "is ~13%% faster when it fits)")
+    ap.add_argument("--no_amp", action="store_true",
+                    help="disable mixed precision (bf16 compute / fp32 "
+                         "params+grads). AMP is the default, mirroring the "
+                         "reference's autocast+GradScaler training loop "
+                         "(scripts/train.py:164, Trainer/engine.py:92); on "
+                         "TPU bf16 needs no loss scaler")
     ap.add_argument("--fsdp", action="store_true",
                     help="with --mesh: shard params + optimizer state over "
                          "the data axis (ZeRO; parallel/fsdp.py) instead of "
@@ -125,6 +136,9 @@ def main():
                 _merge_missing(dst[k], v)
 
     _merge_missing(train_cfg, gen_cfg)
+    if args.remat is not None:
+        train_cfg.remat = {"off": False, "full": True,
+                           "save_convs": "save_convs"}[args.remat]
     if args.epochs is not None:
         train_cfg.n_epochs = args.epochs
     if args.debug:
@@ -135,15 +149,20 @@ def main():
     # build_inpaint_model Trainer/models/__init__.py:441 +
     # train_one_epoch_twostage engine.py:193-318 — which the reference
     # defines but never drives from its own train.py; see PARITY.md)
+    import jax.numpy as jnp
+
+    amp = (not args.no_amp) and bool(train_cfg.get("amp", True))
+    cdtype = jnp.bfloat16 if amp else jnp.float32
     twostage_models = None
     if "+" in str(train_cfg.get("backbone") or ""):
         from brainfm_tpu.models.build import build_inpaint_model
 
-        cfg, pathol_model, task_model = build_inpaint_model(train_cfg)
+        cfg, pathol_model, task_model = build_inpaint_model(
+            train_cfg, compute_dtype=cdtype)
         twostage_models = (pathol_model, task_model)
         model = None
     else:
-        cfg, model = build_model(train_cfg)
+        cfg, model = build_model(train_cfg, compute_dtype=cdtype)
     _, weight_dict, loss_fn = make_criterion(cfg)
 
     out_dir = args.out_dir or update_out_dir(cfg).out_dir
@@ -188,8 +207,6 @@ def main():
         vb, vnames = make_val_set_stream(stream, seed=0, n_items=2,
                                          batch_items=batch_items)
         print("val set spans datasets:", sorted(set(vnames)))
-        import jax.numpy as jnp
-
         from brainfm_tpu.infer.api import Inferencer
 
         # thread the mesh through so a --mesh eval shards the forward the
