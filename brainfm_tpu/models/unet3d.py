@@ -213,6 +213,39 @@ def _pair_groupnorm(enc, z, scale, bias, num_groups, eps=1e-5):
     return enc_out, z_out
 
 
+def _fused_groupnorm(x, scale, bias, num_groups, eps=1e-5):
+    """Single-tensor analog of _pair_groupnorm: flax `nn.GroupNorm` in
+    sums + composite-per-channel-affine form (y = x*a + b with (B,C)
+    coefficients). Semantically identical to the flax layer (stats in
+    promote_types(x.dtype, float32), fast variance E[x^2]-E[x]^2,
+    lax.rsqrt(var+eps) — tests/test_phase_upconv.py::test_fused_groupnorm),
+    but the f32 work lives inside reductions and one fused elementwise
+    chain: the direct flax layer's TPU backward materializes an extra
+    full-activation f32 layout copy (6 GB at S=4 x 128^3 x 64ch — the
+    2.0x lane-padded `convert_element_type` copy pair in the 2026-08-21
+    OOM dumps), which this form never creates."""
+    c = x.shape[-1]
+    groups = _num_groups(c, num_groups)
+    gsize = c // groups
+    sdt = jnp.promote_types(x.dtype, jnp.float32)
+    x32 = x.astype(sdt)
+    axes = tuple(range(1, x.ndim - 1))
+    n = 1.0
+    for s in x.shape[1:-1]:
+        n *= s
+    s1 = jnp.sum(x32, axis=axes)          # (B, C) per-channel sums
+    s2 = jnp.sum(x32 * x32, axis=axes)
+    bsz = s1.shape[0]
+    gmean = s1.reshape(bsz, groups, gsize).sum(-1) / (n * gsize)
+    gmean2 = s2.reshape(bsz, groups, gsize).sum(-1) / (n * gsize)
+    inv = jax.lax.rsqrt(gmean2 - gmean * gmean + eps)
+    a = jnp.repeat(inv, gsize, axis=-1) * scale.astype(sdt)[None]
+    b = (bias.astype(sdt)[None]
+         - jnp.repeat(gmean * inv, gsize, axis=-1) * scale.astype(sdt)[None])
+    shp = (bsz,) + (1,) * len(axes) + (-1,)
+    return (x32 * a.reshape(shp) + b.reshape(shp)).astype(x.dtype)
+
+
 class SingleConv(nn.Module):
     """One `layer_order` unit (parity: buildingblocks.py:78-101).
 
@@ -269,11 +302,12 @@ class SingleConv(nn.Module):
                     s, b = _GNParams(c, name="groupnorm")()
                     x = _pair_groupnorm(enc, z, s, b, self.num_groups)
                 else:
-                    groups = _num_groups(x.shape[-1], self.num_groups)
-                    x = nn.GroupNorm(num_groups=groups, epsilon=1e-5,
-                                     name="groupnorm",
-                                     dtype=self.compute_dtype,
-                                     param_dtype=jnp.float32)(x)
+                    # sums+affine form of nn.GroupNorm — same params path
+                    # ('groupnorm/scale','groupnorm/bias'), same values;
+                    # avoids the flax layer's f32 backward layout copy
+                    # (see _fused_groupnorm)
+                    s, b = _GNParams(x.shape[-1], name="groupnorm")()
+                    x = _fused_groupnorm(x, s, b, self.num_groups)
             elif ch == "b":
                 # the decoder never forms a pair when 'b' is in the order
                 x = nn.BatchNorm(use_running_average=True, name="batchnorm",

@@ -115,3 +115,43 @@ def test_phase_path_skipped_on_odd_extents(monkeypatch):
     params = model.init(jax.random.PRNGKey(0), x)
     y = model.apply(params, x)
     assert y.shape == (1, 15, 17, 13, 8) and not called
+
+
+@pytest.mark.parametrize("shape,channels", [
+    ((2, 8, 8, 8, 64), 64),   # 3-D, 8 groups of 8
+    ((2, 10, 10, 64), 64),    # 2-D UNet path
+    ((1, 6, 6, 6, 4), 4),     # channels < num_groups -> 1 group
+])
+def test_fused_groupnorm_matches_flax(shape, channels):
+    """_fused_groupnorm (sums + composite affine; used by SingleConv so the
+    TPU backward never materializes the flax layer's f32 layout copy) must
+    equal nn.GroupNorm in values and grads at fp64."""
+    import flax.linen as nn
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal(shape))
+    s = jnp.asarray(rng.standard_normal((channels,)))
+    b = jnp.asarray(rng.standard_normal((channels,)))
+    w = jnp.asarray(rng.standard_normal(shape))
+    groups = u3._num_groups(channels, 8)
+    gn = nn.GroupNorm(num_groups=groups, epsilon=1e-5)
+    params = {"params": {"scale": s, "bias": b}}
+
+    def loss_ref(x, s, b):
+        y = gn.apply({"params": {"scale": s, "bias": b}}, x)
+        return jnp.sum(y * w), y
+
+    def loss_f(x, s, b):
+        y = u3._fused_groupnorm(x, s, b, 8)
+        return jnp.sum(y * w), y
+
+    (l_r, y_r), g_r = jax.value_and_grad(loss_ref, (0, 1, 2),
+                                         has_aux=True)(x, s, b)
+    (l_f, y_f), g_f = jax.value_and_grad(loss_f, (0, 1, 2),
+                                         has_aux=True)(x, s, b)
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_r),
+                               rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(float(l_f), float(l_r), rtol=1e-10)
+    for a, g in zip(g_r, g_f):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(a),
+                                   rtol=1e-8, atol=1e-8)
