@@ -16,6 +16,7 @@ NCDHW state dict onto these parameter trees.
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence
 
 import jax
@@ -213,17 +214,12 @@ def _pair_groupnorm(enc, z, scale, bias, num_groups, eps=1e-5):
     return enc_out, z_out
 
 
-def _fused_groupnorm(x, scale, bias, num_groups, eps=1e-5):
-    """Single-tensor analog of _pair_groupnorm: flax `nn.GroupNorm` in
-    sums + composite-per-channel-affine form (y = x*a + b with (B,C)
-    coefficients). Semantically identical to the flax layer (stats in
-    promote_types(x.dtype, float32), fast variance E[x^2]-E[x]^2,
-    lax.rsqrt(var+eps) — tests/test_phase_upconv.py::test_fused_groupnorm),
-    but the f32 work lives inside reductions and one fused elementwise
-    chain: the direct flax layer's TPU backward materializes an extra
-    full-activation f32 layout copy (6 GB at S=4 x 128^3 x 64ch — the
-    2.0x lane-padded `convert_element_type` copy pair in the 2026-08-21
-    OOM dumps), which this form never creates."""
+def _fgn_stats(x, num_groups, eps):
+    """Group statistics in sums form: (gmean, inv) of shape (B, groups),
+    in promote_types(x.dtype, float32) — flax nn.GroupNorm semantics
+    (stats promoted to f32, fast variance E[x^2]-E[x]^2, lax.rsqrt).
+    The astype lives INSIDE the reductions so XLA fuses the convert
+    instead of materializing an f32 copy of the activation."""
     c = x.shape[-1]
     groups = _num_groups(c, num_groups)
     gsize = c // groups
@@ -239,11 +235,78 @@ def _fused_groupnorm(x, scale, bias, num_groups, eps=1e-5):
     gmean = s1.reshape(bsz, groups, gsize).sum(-1) / (n * gsize)
     gmean2 = s2.reshape(bsz, groups, gsize).sum(-1) / (n * gsize)
     inv = jax.lax.rsqrt(gmean2 - gmean * gmean + eps)
+    return gmean, inv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _fused_groupnorm(x, scale, bias, num_groups, eps=1e-5):
+    """Single-tensor analog of _pair_groupnorm: flax `nn.GroupNorm` in
+    sums + composite-per-channel-affine form (y = x*a + b with (B,C)
+    coefficients), with an ANALYTIC backward. Semantically identical to
+    the flax layer (fp64 fwd+grad equality,
+    tests/test_phase_upconv.py::test_fused_groupnorm), but neither pass
+    ever materializes a full-size f32 tensor: autodiff of the direct
+    form creates an f32 activation copy (and its f32 cotangent) with a
+    2.0x lane-padded TPU tiling — 6 GiB at S=4 x 128^3 x 64ch, the
+    allocation that kept the reference-parity S=4 training step out of
+    single-chip HBM (OOM dumps, 2026-08-21). Here the backward is two
+    per-channel spatial reductions (sum dy, sum dy*x) + (B,C) algebra +
+    one fused affine dx = dy*P + x*Q + R over the bf16 operands."""
+    y, _ = _fgn_fwd(x, scale, bias, num_groups, eps)
+    return y
+
+
+def _fgn_fwd(x, scale, bias, num_groups, eps):
+    c = x.shape[-1]
+    groups = _num_groups(c, num_groups)
+    gsize = c // groups
+    sdt = jnp.promote_types(x.dtype, jnp.float32)
+    gmean, inv = _fgn_stats(x, num_groups, eps)
     a = jnp.repeat(inv, gsize, axis=-1) * scale.astype(sdt)[None]
     b = (bias.astype(sdt)[None]
          - jnp.repeat(gmean * inv, gsize, axis=-1) * scale.astype(sdt)[None])
+    shp = (x.shape[0],) + (1,) * (x.ndim - 2) + (-1,)
+    y = (x.astype(sdt) * a.reshape(shp) + b.reshape(shp)).astype(x.dtype)
+    return y, (x, scale, gmean, inv)
+
+
+def _fgn_bwd(num_groups, eps, res, dy):
+    x, scale, gmean, inv = res
+    c = x.shape[-1]
+    groups = _num_groups(c, num_groups)
+    gsize = c // groups
+    sdt = jnp.promote_types(x.dtype, jnp.float32)
+    axes = tuple(range(1, x.ndim - 1))
+    n = 1.0
+    for s in x.shape[1:-1]:
+        n *= s
+    N = n * gsize
+    bsz = x.shape[0]
+    s32 = scale.astype(sdt)
+    dy32 = dy.astype(sdt)
+    x32 = x.astype(sdt)
+    # the only big work: two per-channel reductions (converts fuse in)
+    s_dy = jnp.sum(dy32, axis=axes)            # (B, C)
+    s_dyx = jnp.sum(dy32 * x32, axis=axes)     # (B, C)
+    # (B, C) centered correlation per channel, then group means
+    ctr = s_dyx - gmean.repeat(gsize, -1) * s_dy
+    dscale = jnp.sum(ctr * inv.repeat(gsize, -1), axis=0)
+    dbias = jnp.sum(s_dy, axis=0)
+    m1 = (s_dy * s32[None]).reshape(bsz, groups, gsize).sum(-1) / N
+    m2 = ((ctr * s32[None]).reshape(bsz, groups, gsize).sum(-1)
+          * inv / N)
+    # dx = inv*(g*dy - m1 - xhat*m2)  ==  dy*P + x*Q + R with tiny coeffs
+    P = (inv.repeat(gsize, -1) * s32[None])              # (B, C)
+    Q = (-(inv * inv * m2)).repeat(gsize, -1)            # (B, C)
+    R = (-inv * m1 + gmean * inv * inv * m2).repeat(gsize, -1)
     shp = (bsz,) + (1,) * len(axes) + (-1,)
-    return (x32 * a.reshape(shp) + b.reshape(shp)).astype(x.dtype)
+    dx = (dy32 * P.reshape(shp) + x32 * Q.reshape(shp)
+          + R.reshape(shp)).astype(x.dtype)
+    return dx, dscale.astype(scale.dtype), dbias.astype(scale.dtype)
+
+
+_fused_groupnorm.defvjp(lambda x, s, b, ng, eps: _fgn_fwd(x, s, b, ng, eps),
+                        _fgn_bwd)
 
 
 class SingleConv(nn.Module):
