@@ -173,6 +173,7 @@ class _GNParams(nn.Module):
         return s, b
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def _pair_groupnorm(enc, z, scale, bias, num_groups, eps=1e-5):
     """GroupNorm over the VIRTUAL concat([enc, nearest_up2(z)]) without
     materializing it: fine-grid sums over the repeated tail equal 8x the
@@ -182,7 +183,19 @@ def _pair_groupnorm(enc, z, scale, bias, num_groups, eps=1e-5):
     what keeps the tail's nearest-repeat structure intact for the phase
     conv that follows). Matches flax nn.GroupNorm semantics: stats in
     promote_types(x.dtype, float32), fast variance E[x^2]-E[x]^2,
-    lax.rsqrt(var+eps)."""
+    lax.rsqrt(var+eps).
+
+    Analytic backward for the same reason as _fused_groupnorm: autodiff
+    materializes lane-padded f32 copies/cotangents of the fine-grid part
+    (GiB-scale at the training crops). Here the backward is four
+    per-channel reductions (sum g, sum g*x per part) + (B,C) algebra +
+    one coefficient-affine fusion per part, with the coarse part's sums
+    carrying the 8x repeat weight (d/dz of s1 = 8, of s2 = 16z)."""
+    out, _ = _pgn_fwd(enc, z, scale, bias, num_groups, eps)
+    return out
+
+
+def _pgn_fwd(enc, z, scale, bias, num_groups, eps):
     ce, cz = enc.shape[-1], z.shape[-1]
     c = ce + cz
     groups = _num_groups(c, num_groups)
@@ -211,7 +224,58 @@ def _pair_groupnorm(enc, z, scale, bias, num_groups, eps=1e-5):
                + b[:, :ce].reshape(shp)).astype(enc.dtype)
     z_out = (z32 * a[:, ce:].reshape(shp)
              + b[:, ce:].reshape(shp)).astype(z.dtype)
-    return enc_out, z_out
+    return (enc_out, z_out), (enc, z, scale, gmean, inv)
+
+
+def _pgn_bwd(num_groups, eps, res, g):
+    ge, gz = g
+    enc, z, scale, gmean, inv = res
+    ce, cz = enc.shape[-1], z.shape[-1]
+    c = ce + cz
+    groups = _num_groups(c, num_groups)
+    gsize = c // groups
+    sdt = jnp.promote_types(enc.dtype, jnp.float32)
+    n_fine = 1.0
+    for s in enc.shape[1:4]:
+        n_fine *= s
+    N = n_fine * gsize
+    bsz = enc.shape[0]
+    s32 = scale.astype(sdt)
+    # the only big work: two reductions per part (converts fuse in)
+    u1e = jnp.sum(ge.astype(sdt), axis=(1, 2, 3))                    # (B,Ce)
+    u2e = jnp.sum(ge.astype(sdt) * enc.astype(sdt), axis=(1, 2, 3))
+    u1z = jnp.sum(gz.astype(sdt), axis=(1, 2, 3))                    # (B,Cz)
+    u2z = jnp.sum(gz.astype(sdt) * z.astype(sdt), axis=(1, 2, 3))
+    u1 = jnp.concatenate([u1e, u1z], axis=-1)
+    u2 = jnp.concatenate([u2e, u2z], axis=-1)
+    gmc = gmean.repeat(gsize, -1)
+    invc = inv.repeat(gsize, -1)
+    ctr = u2 - gmc * u1                      # (B,C) centered correlations
+    dscale = jnp.sum(invc * ctr, axis=0)
+    dbias = jnp.sum(u1, axis=0)
+    inv3 = inv * inv * inv
+    T = (s32[None] * ctr).reshape(bsz, groups, gsize).sum(-1)    # (B,G)
+    W = (s32[None] * u1).reshape(bsz, groups, gsize).sum(-1)
+    D1 = (-inv * W + T * gmean * inv3) / N   # dL/d(per-channel sum s1)
+    D2 = (-0.5 * T * inv3) / N               # dL/d(per-channel sum s2)
+    A = invc * s32[None]
+    D1c = D1.repeat(gsize, -1)
+    D2c = D2.repeat(gsize, -1)
+    shp = (bsz, 1, 1, 1, -1)
+    # combine in the part dtype — see _fgn_bwd for why f32 here would
+    # re-materialize the very copies this vjp removes
+    dte, dtz = enc.dtype, z.dtype
+    de = (ge * A[:, :ce].reshape(shp).astype(dte)
+          + enc * (2.0 * D2c[:, :ce]).reshape(shp).astype(dte)
+          + D1c[:, :ce].reshape(shp).astype(dte))
+    dz = (gz * A[:, ce:].reshape(shp).astype(dtz)
+          + z * (16.0 * D2c[:, ce:]).reshape(shp).astype(dtz)
+          + (8.0 * D1c[:, ce:]).reshape(shp).astype(dtz))
+    return de, dz, dscale.astype(scale.dtype), dbias.astype(scale.dtype)
+
+
+_pair_groupnorm.defvjp(
+    lambda e, zz, s, b, ng, eps: _pgn_fwd(e, zz, s, b, ng, eps), _pgn_bwd)
 
 
 def _fgn_stats(x, num_groups, eps):
@@ -295,13 +359,21 @@ def _fgn_bwd(num_groups, eps, res, dy):
     m1 = (s_dy * s32[None]).reshape(bsz, groups, gsize).sum(-1) / N
     m2 = ((ctr * s32[None]).reshape(bsz, groups, gsize).sum(-1)
           * inv / N)
-    # dx = inv*(g*dy - m1 - xhat*m2)  ==  dy*P + x*Q + R with tiny coeffs
+    # dx = inv*(g*dy - m1 - xhat*m2)  ==  dy*P + x*Q + R with tiny coeffs.
+    # The combine runs in x.dtype (identical math for f32/f64; bf16-
+    # coefficient rounding under AMP, the same noise floor as the bf16
+    # conv wgrad/dgrad next door): combining in f32 makes the big x/dy
+    # converts SHARED between the reductions above and this fusion, and
+    # XLA materializes the common f32 subexpression plus a layout copy
+    # (2+4 GiB at S=4 x 128^3 x 64ch) instead of fusing the converts —
+    # the allocation this custom_vjp exists to remove.
     P = (inv.repeat(gsize, -1) * s32[None])              # (B, C)
     Q = (-(inv * inv * m2)).repeat(gsize, -1)            # (B, C)
     R = (-inv * m1 + gmean * inv * inv * m2).repeat(gsize, -1)
     shp = (bsz,) + (1,) * len(axes) + (-1,)
-    dx = (dy32 * P.reshape(shp) + x32 * Q.reshape(shp)
-          + R.reshape(shp)).astype(x.dtype)
+    dt = x.dtype
+    dx = (dy * P.reshape(shp).astype(dt) + x * Q.reshape(shp).astype(dt)
+          + R.reshape(shp).astype(dt))
     return dx, dscale.astype(scale.dtype), dbias.astype(scale.dtype)
 
 

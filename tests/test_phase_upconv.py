@@ -155,3 +155,37 @@ def test_fused_groupnorm_matches_flax(shape, channels):
     for a, g in zip(g_r, g_f):
         np.testing.assert_allclose(np.asarray(g), np.asarray(a),
                                    rtol=1e-8, atol=1e-8)
+
+
+def test_pair_groupnorm_matches_materialized_flax_grads():
+    """_pair_groupnorm's analytic vjp must equal autodiff of the
+    materialized form (concat([enc, repeat2(z)]) -> nn.GroupNorm), with
+    the coarse part's gradient correctly carrying the 8x repeat weight,
+    at fp64."""
+    import flax.linen as nn
+
+    rng = np.random.default_rng(5)
+    ce, cz = 16, 48
+    enc = jnp.asarray(rng.standard_normal((2, 8, 8, 8, ce)))
+    z = jnp.asarray(rng.standard_normal((2, 4, 4, 4, cz)))
+    s = jnp.asarray(rng.standard_normal((ce + cz,)))
+    b = jnp.asarray(rng.standard_normal((ce + cz,)))
+    w = jnp.asarray(rng.standard_normal((2, 8, 8, 8, ce + cz)))
+    gn = nn.GroupNorm(num_groups=8, epsilon=1e-5)
+
+    def loss_ref(enc, z, s, b):
+        x = jnp.concatenate([enc, _repeat2(z)], -1)
+        y = gn.apply({"params": {"scale": s, "bias": b}}, x)
+        return jnp.sum(y * w)
+
+    def loss_pair(enc, z, s, b):
+        eo, zo = u3._pair_groupnorm(enc, z, s, b, 8)
+        y = jnp.concatenate([eo, _repeat2(zo)], -1)
+        return jnp.sum(y * w)
+
+    l_r, g_r = jax.value_and_grad(loss_ref, (0, 1, 2, 3))(enc, z, s, b)
+    l_p, g_p = jax.value_and_grad(loss_pair, (0, 1, 2, 3))(enc, z, s, b)
+    np.testing.assert_allclose(float(l_p), float(l_r), rtol=1e-10)
+    for a, g in zip(g_r, g_p):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(a),
+                                   rtol=1e-8, atol=1e-8)
