@@ -67,6 +67,7 @@ T_START = time.time()
 SMOKE = os.environ.get("BRAINFM_BENCH_SMOKE") == "1"
 STAGES = {}          # stage metrics for the end-of-run summary line
 _CONTRACT = []       # contract JSON lines written so far (for re-emit)
+COLD_CACHE = True    # set in main(); gates the tiled stage by policy
 
 
 def emit_contract(vols_per_sec):
@@ -185,7 +186,20 @@ def main():
         sys.stderr.flush()
         os._exit(2)
     cache_dir = setup_compilation_cache(platform_version=probe[1])
-    log_ts(f"backend: {probe[0]} device(s), cache={cache_dir}")
+    # a COLD cache (fresh version-scoped subdir after a libtpu roll, or
+    # cache disabled) means every stage pays a full compile — r4 lost both
+    # north-star secondaries to a 348 s cold primary compile. The tiled
+    # stage (least informative secondary) is skipped by policy when cold.
+    global COLD_CACHE
+    try:
+        COLD_CACHE = (not cache_dir
+                      or not [f for f in os.listdir(cache_dir)
+                              if f != "KEY.txt"])
+    except OSError:
+        COLD_CACHE = True
+    STAGES["cache_cold"] = COLD_CACHE
+    log_ts(f"backend: {probe[0]} device(s), cache={cache_dir} "
+           f"(cold={COLD_CACHE})")
     try:
         _run()
     except Exception as e:
@@ -251,8 +265,10 @@ def _run():
     # (keep_feat=False) is the HBM headroom that lets the L6 flagship fit
     # 220^3 on one chip (infer/api.py, BASELINE.md)
     log_ts("compiling/loading whole-volume graph...")
+    _tc = time.time()
     out = inf.evaluate_image(vol, run_postprocess=False, keep_feat=False)
     sync(out)
+    STAGES["primary_compile_s"] = round(time.time() - _tc, 1)
     log_ts("whole-volume graph ready")
     # constant-folding guard (ARCHITECTURE.md measurement trap): a second,
     # different input must yield a different output — a zero-arg/closed-
@@ -280,11 +296,12 @@ def _run():
     print(f"# whole-volume inference: {dt*1e3:.0f} ms / {VOL}^3 volume "
           f"(single dispatch, bf16, keep_feat=False)", file=sys.stderr)
 
-    # secondaries in NORTH-STAR PRIORITY ORDER (VERDICT r2 #2: one driver
-    # run must carry whole-volume, tiled fp32-parity, generator samples/s
-    # and the train step): tiled fp32 -> generator (pathology off AND on)
-    # -> train step. Each stage gates on remaining budget and logs what it
-    # skipped.
+    # secondaries in NORTH-STAR PRIORITY ORDER (VERDICT r4 #2: r4's cold
+    # cache burned the budget on the tiled fallback and SKIPPED both
+    # north-star secondaries): train step -> generator (pathology off AND
+    # on) -> tiled fp32 LAST (and skipped by policy on a cold cache).
+    # Each stage gates on remaining budget, logs what it skipped, and
+    # records its own compile/warmup seconds in the summary.
     import gc
 
     def stage_ok(name):
@@ -314,32 +331,92 @@ def _run():
                     raise ev  # let main() run the cache-disabled retry
             return et is not None
 
-    # secondary: the tiled sliding-window path (the >HBM fallback and the
-    # reference's demo_test.py:126 plan: 8x160^3 windows, stride 80),
-    # fp32 canvas = reference-parity blending default
-    if stage_ok("tiled fp32-parity"):
-        # release previous canvases first: ~70 output channels x 220^3
-        # held in both precisions exceeds HBM
-        del out, out2
-        gc.collect()
-        with stage_guard("tiled fp32-parity"):
-            out = inf.evaluate_tiled(vol, stride=STRIDE, win_size=WIN,
-                                     run_postprocess=False,
-                                     accum_dtype=jnp.float32)
-            sync(out)  # warmup/compile
-            t0 = time.time()
-            out2 = inf.evaluate_tiled(vol, stride=STRIDE, win_size=WIN,
-                                      run_postprocess=False,
-                                      accum_dtype=jnp.float32)
-            sync(out2)
-            STAGES["tiled_fp32_ms"] = round((time.time() - t0) * 1e3)
-            print(f"# tiled inference (fp32-parity blend): "
-                  f"{STAGES['tiled_fp32_ms']} ms / {VOL}^3 volume "
-                  f"(stride-{STRIDE[0]} plan)", file=sys.stderr)
-            del out, out2
-        gc.collect()
+    # release the primary's canvases (~70 output channels x 220^3) and the
+    # inference model before the training state — they don't fit HBM
+    # together
+    del out, out2
+    gc.collect()
 
-    # secondary: generator throughput (north-star metric #2, BASELINE.json)
+    # secondary #1: flagship L6 training step at the single-chip crop
+    # (128^3; the 160^3 flagship crop trains spatially sharded across the
+    # mesh 'space' axis, see parallel/spatial.py + tests/test_flagship_l6.py).
+    # Reference capability: Trainer/engine.py:66 train_one_epoch.
+    if stage_ok("train-step"):
+        del inf
+        gc.collect()
+        with stage_guard("train-step"):
+            from brainfm_tpu.models import build_model
+            from brainfm_tpu.models.criterion import make_criterion
+            from brainfm_tpu.train.step import (TrainState, build_optimizer,
+                                                make_train_step)
+
+            tcfg = AttrDict.from_nested({
+                "task": {"T1": True, "segmentation": True, "distance": True,
+                         "registration": True, "bias_field": True},
+                "generator": {"left_hemis_only": False, "size": list(TSIZE)},
+                "losses": {"uncertainty": None, "image_grad": True,
+                           "registration_grad": True,
+                           "bias_field_log_type": "l2"},
+                "weights": {k: 1.0 for k in ("seg_ce", "seg_dice", "image",
+                                             "image_grad", "bias_field_log",
+                                             "distance", "registration",
+                                             "registration_grad")},
+                "backbone": "unet3d", "f_maps": FM, "num_levels": NL,
+                "num_groups": 8, "layer_order": "gcl", "unit_feat": False,
+                "task_f_maps": [FM], "max_surf_distance": 3.0,
+                "label_list_segmentation_with_csf":
+                    [0, 14, 15, 16, 24, 77, 85],
+                "optimizer": "adamw", "lr": 1e-4, "weight_decay": 0.0,
+                # save_convs: measured 15% faster than 'full' at this shape
+                # (396 vs 465 ms, scripts/profile_train.py 2026-08-19)
+                "clip_max_norm": 1.0, "all_samples": 1,
+                "remat": "save_convs",
+            })
+            tcfg, tmodel = build_model(tcfg, compute_dtype=jnp.bfloat16)
+            _, twd, tloss = make_criterion(tcfg)
+            topt = build_optimizer(tcfg)
+            rng0 = np.random.default_rng(1)
+            ts = TSIZE
+            xt = jnp.asarray(rng0.random((1, *ts, 1)), jnp.float32)
+            tparams = jax.jit(tmodel.init)(jax.random.PRNGKey(0), xt)
+            tstate = TrainState(tparams, topt.init(tparams),
+                                jnp.zeros((), jnp.int32))
+            tstep = make_train_step(tmodel, tcfg, twd, tloss, topt,
+                                    donate=True)
+            tb = {
+                "samples": {"input": xt[None],
+                            "bias_field_log": jnp.zeros((1, 1, *ts, 1))},
+                "targets": {
+                    "T1": jnp.asarray(rng0.random((1, 1, *ts, 1)),
+                                      jnp.float32),
+                    "segmentation": jax.nn.one_hot(jnp.asarray(
+                        rng0.integers(0, 56, (1, 1, *ts)), jnp.int32), 56),
+                    "distance": jnp.asarray(rng0.random((1, 1, *ts, 4)),
+                                            jnp.float32),
+                    "registration": jnp.asarray(rng0.random((1, 1, *ts, 3)),
+                                                jnp.float32),
+                },
+            }
+            _tc = time.time()
+            tstate, m = tstep(tstate, tb, 1e-4, 0.0)
+            np.asarray(m["loss_total"])
+            STAGES["train_compile_s"] = round(time.time() - _tc, 1)
+            t0 = time.time()
+            for _ in range(3):
+                tstate, m = tstep(tstate, tb, 1e-4, 0.0)
+            np.asarray(m["loss_total"])
+            STAGES["train_step_ms"] = round((time.time() - t0) / 3 * 1e3)
+            print(f"# train step: {STAGES['train_step_ms']} ms @{ts[0]}^3 "
+                  f"joint f{FM} L{NL} flagship (remat, bf16; 160^3 crop "
+                  "trains space-sharded, see tests/test_flagship_l6.py)",
+                  file=sys.stderr)
+            del tstate, tparams, tstep, tb, xt, m
+        gc.collect()
+        inf = None  # rebuilt by the tiled stage if it runs
+
+    # secondary #2: generator throughput (north-star metric #2,
+    # BASELINE.json; reference: the synth DataLoader stream,
+    # scripts/train.py:133-137)
     if stage_ok("generator"):
       with stage_guard("generator"):
         bshape = tuple(int(s * 1.2) for s in GSIZE)
@@ -351,9 +428,11 @@ def _run():
         tasks = ("T1", "segmentation", "distance", "registration",
                  "bias_field")
         knobs = build_knobs_stack(scfg, "synth")
+        _tc = time.time()
         _t, _s = synth_item(jax.random.PRNGKey(0), subj, scfg, tasks,
                             "synth", knobs)
         np.asarray(_s["input"][0, 0, 0, 0])  # sync (see above)
+        STAGES["generator_compile_s"] = round(time.time() - _tc, 1)
         t0 = time.time()
         n_gen = 2 if SMOKE else 8
         for i in range(n_gen):
@@ -374,9 +453,11 @@ def _run():
                                augment_pathology=True)
             ptasks = tasks + ("pathology",)
             pknobs = build_knobs_stack(pcfg, "synth")
+            _tc = time.time()
             _t, _s = synth_item(jax.random.PRNGKey(0), subj, pcfg, ptasks,
                                 "synth", pknobs)
             np.asarray(_s["input"][0, 0, 0, 0])
+            STAGES["generator_pathol_compile_s"] = round(time.time() - _tc, 1)
             t0 = time.time()
             for i in range(n_gen):
                 _t, _s = synth_item(jax.random.PRNGKey(i + 1), subj, pcfg,
@@ -390,78 +471,41 @@ def _run():
         del bank, subj, _t, _s
         gc.collect()
 
-    # tertiary: flagship L6 training step at the single-chip crop (128^3;
-    # the 160^3 flagship crop fails single-chip compile (OOM) even with
-    # remat — it trains spatially sharded across the mesh 'space' axis,
-    # see parallel/spatial.py + tests/test_flagship_l6.py)
-    if not stage_ok("train-step"):
-        return
-    try:
-        # release the inference model before allocating the training
-        # state — they don't fit HBM together
-        del inf
-        gc.collect()
-        from brainfm_tpu.models import build_model
-        from brainfm_tpu.models.criterion import make_criterion
-        from brainfm_tpu.train.step import (TrainState, build_optimizer,
-                                            make_train_step)
-
-        tcfg = AttrDict.from_nested({
-            "task": {"T1": True, "segmentation": True, "distance": True,
-                     "registration": True, "bias_field": True},
-            "generator": {"left_hemis_only": False, "size": list(TSIZE)},
-            "losses": {"uncertainty": None, "image_grad": True,
-                       "registration_grad": True, "bias_field_log_type": "l2"},
-            "weights": {k: 1.0 for k in ("seg_ce", "seg_dice", "image",
-                                         "image_grad", "bias_field_log",
-                                         "distance", "registration",
-                                         "registration_grad")},
-            "backbone": "unet3d", "f_maps": FM, "num_levels": NL,
-            "num_groups": 8, "layer_order": "gcl", "unit_feat": False,
-            "task_f_maps": [FM], "max_surf_distance": 3.0,
-            "label_list_segmentation_with_csf": [0, 14, 15, 16, 24, 77, 85],
-            "optimizer": "adamw", "lr": 1e-4, "weight_decay": 0.0,
-            # save_convs: measured 15% faster than 'full' at this shape
-            # (396 vs 465 ms, scripts/profile_train.py 2026-08-19)
-            "clip_max_norm": 1.0, "all_samples": 1, "remat": "save_convs",
-        })
-        tcfg, tmodel = build_model(tcfg, compute_dtype=jnp.bfloat16)
-        _, twd, tloss = make_criterion(tcfg)
-        topt = build_optimizer(tcfg)
-        rng0 = np.random.default_rng(1)
-        ts = TSIZE
-        xt = jnp.asarray(rng0.random((1, *ts, 1)), jnp.float32)
-        tparams = jax.jit(tmodel.init)(jax.random.PRNGKey(0), xt)
-        tstate = TrainState(tparams, topt.init(tparams),
-                            jnp.zeros((), jnp.int32))
-        tstep = make_train_step(tmodel, tcfg, twd, tloss, topt, donate=True)
-        tb = {
-            "samples": {"input": xt[None],
-                        "bias_field_log": jnp.zeros((1, 1, *ts, 1))},
-            "targets": {
-                "T1": jnp.asarray(rng0.random((1, 1, *ts, 1)), jnp.float32),
-                "segmentation": jax.nn.one_hot(jnp.asarray(
-                    rng0.integers(0, 56, (1, 1, *ts)), jnp.int32), 56),
-                "distance": jnp.asarray(rng0.random((1, 1, *ts, 4)),
-                                        jnp.float32),
-                "registration": jnp.asarray(rng0.random((1, 1, *ts, 3)),
-                                            jnp.float32),
-            },
-        }
-        tstate, m = tstep(tstate, tb, 1e-4, 0.0)
-        np.asarray(m["loss_total"])
-        t0 = time.time()
-        for _ in range(3):
-            tstate, m = tstep(tstate, tb, 1e-4, 0.0)
-        np.asarray(m["loss_total"])
-        STAGES["train_step_ms"] = round((time.time() - t0) / 3 * 1e3)
-        print(f"# train step: {STAGES['train_step_ms']} ms @{ts[0]}^3 "
-              f"joint f{FM} L{NL} flagship (remat, bf16; 160^3 crop trains "
-              f"space-sharded, see tests/test_flagship_l6.py)",
+    # tertiary (LAST, least informative secondary — it's the >HBM
+    # fallback): the tiled sliding-window path (reference demo_test.py:126
+    # plan: 8x160^3 windows, stride 80), fp32 canvas = reference-parity
+    # blending default. Skipped BY POLICY on a cold cache: its graph
+    # compile is minutes on the relay and r4 showed it can starve the
+    # stages that carry north-star numbers.
+    if COLD_CACHE and not SMOKE:
+        print("# tiled fp32-parity bench skipped by policy (cold "
+              "compilation cache — its compile would starve nothing now, "
+              "but keeps the run inside budget for a warm re-run)",
               file=sys.stderr)
-    except Exception as e:
-        print(f"# train step bench skipped: {type(e).__name__}: "
-              f"{str(e)[:200]}", file=sys.stderr)
+    elif stage_ok("tiled fp32-parity"):
+        with stage_guard("tiled fp32-parity"):
+            if inf is None:
+                log_ts("rebuilding Inferencer for the tiled stage...")
+                inf = Inferencer(cfg, ckpt_path=None,
+                                 compute_dtype=jnp.bfloat16, exact=False)
+            _tc = time.time()
+            out = inf.evaluate_tiled(vol, stride=STRIDE, win_size=WIN,
+                                     run_postprocess=False,
+                                     accum_dtype=jnp.float32)
+            sync(out)  # warmup/compile
+            STAGES["tiled_compile_s"] = round(time.time() - _tc, 1)
+            t0 = time.time()
+            out2 = inf.evaluate_tiled(vol, stride=STRIDE, win_size=WIN,
+                                      run_postprocess=False,
+                                      accum_dtype=jnp.float32)
+            sync(out2)
+            STAGES["tiled_fp32_ms"] = round((time.time() - t0) * 1e3)
+            print(f"# tiled inference (fp32-parity blend): "
+                  f"{STAGES['tiled_fp32_ms']} ms / {VOL}^3 volume "
+                  f"(stride-{STRIDE[0]} plan)", file=sys.stderr)
+            del out, out2
+        gc.collect()
+
     print(f"# bench complete in {time.time()-T_START:.0f}s", file=sys.stderr)
 
 

@@ -586,11 +586,26 @@ class TwoStageInferencer:
 
 _ATLAS = {}
 
+# The deformed-atlas source (reference ships it as files/gca.mgz). This is
+# the read-only reference fixture — the ONE runtime data dependency on the
+# reference tree — kept as the documented fallback because it is data, not
+# code. Override order: explicit atlas_path arg > cfg key `atlas_path`
+# (any cfgs/ YAML; see cfgs/trainer/default_val.yaml) > BRAINFM_ATLAS_PATH
+# env var > this fallback.
+DEFAULT_ATLAS_PATH = "/root/reference/files/gca.mgz"
+
+
+def default_atlas_path(cfg=None) -> str:
+    """Resolve the atlas path from cfg/env (see DEFAULT_ATLAS_PATH)."""
+    p = getattr(cfg, "atlas_path", None) if cfg is not None else None
+    return p or os.environ.get("BRAINFM_ATLAS_PATH") or DEFAULT_ATLAS_PATH
+
 
 def get_deformed_atlas(brain_labels, regx, regy, regz,
-                       atlas_path: str = "/root/reference/files/gca.mgz"):
+                       atlas_path: str | None = None):
     """Warp the MNI atlas through predicted registration coordinates
     (parity: test_utils.py:45-57)."""
+    atlas_path = atlas_path or default_atlas_path()
     if atlas_path not in _ATLAS:
         mni, aff2 = MRIread(atlas_path)
         _ATLAS[atlas_path] = (jnp.asarray(mni),

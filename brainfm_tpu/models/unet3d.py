@@ -19,6 +19,8 @@ from __future__ import annotations
 import functools
 from typing import Sequence
 
+import numpy as _np
+
 import jax
 import jax.numpy as jnp
 from jax import ad_checkpoint as _adc
@@ -43,10 +45,16 @@ def _num_groups(channels: int, num_groups: int) -> int:
 # _phase_upconv): _PHASE_MAP[p, d, m] == 1 iff a fine-grid 3-tap kernel
 # offset d (0..2 <-> -1..1) lands on coarse offset m (0..2 <-> -1..1) for
 # fine output phase p: floor((p + d - 1) / 2) == m - 1.
-_PHASE_MAP = jnp.asarray(
+# Host constant (numpy, NOT jnp): a module-level jnp.asarray dispatches a
+# device op at import, which initializes — and can die on — whatever
+# backend is ambient in the importing process (it killed the round-4
+# multichip gate's parent under a skewed libtpu before the gate's
+# forced-CPU armor could engage). Converted at trace time in
+# _phase_pair_conv; tests/test_import_safety.py guards the whole package.
+_PHASE_MAP = _np.asarray(
     [[[1, 0, 0], [0, 1, 0], [0, 1, 0]],    # p = 0
      [[0, 1, 0], [0, 1, 0], [0, 0, 1]]],   # p = 1
-    jnp.float32)
+    _np.float32)
 
 
 def _phase_upconv(x, kernel, up_start):
@@ -90,7 +98,7 @@ def _phase_pair_conv(enc, z, kernel):
     dn = ("NDHWC", "DHWIO", "NDHWC")
     ya = jax.lax.conv_general_dilated(enc, ka, (1, 1, 1), "SAME",
                                       dimension_numbers=dn)
-    m = _PHASE_MAP.astype(kernel.dtype)
+    m = jnp.asarray(_PHASE_MAP, kernel.dtype)
     # kb (3,3,3,ci,co) -> folded (3,3,3,ci, 2,2,2,co), phase-major tail
     kph = jnp.einsum("xyzio,pxa,qyb,rzc->abcipqro", kb, m, m, m)
     co = kb.shape[-1]

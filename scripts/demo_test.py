@@ -22,7 +22,8 @@ setup_compilation_cache()
 import jax.numpy as jnp
 
 from brainfm_tpu.config import load_config
-from brainfm_tpu.infer.api import Inferencer, get_deformed_atlas
+from brainfm_tpu.infer.api import (Inferencer, default_atlas_path,
+                                   get_deformed_atlas)
 from brainfm_tpu.infer.prepare import prepare_image
 from brainfm_tpu.utils.nifti import viewVolume
 
@@ -38,7 +39,10 @@ def main():
     ap.add_argument("--stride", type=int, nargs=3, default=[80, 80, 80])
     ap.add_argument("--gen_cfg", default=None)
     ap.add_argument("--train_cfg", default=None)
-    ap.add_argument("--atlas", default="/root/reference/files/gca.mgz")
+    ap.add_argument("--atlas", default=None,
+                    help="MNI atlas volume for deformed-atlas rendering; "
+                         "defaults to the `atlas_path` config key, then "
+                         "$BRAINFM_ATLAS_PATH, then the reference fixture")
     ap.add_argument("--exact", action="store_true",
                     help="fp32 highest-precision matmuls (reference parity);"
                          " default is bf16 compute (~6x faster)")
@@ -55,6 +59,8 @@ def main():
         os.path.join(root, "cfgs/trainer/default_train.yaml"),
         os.path.join(root, "cfgs/trainer/default_val.yaml"),
         args.gen_cfg, args.train_cfg])
+    if args.atlas is None:
+        args.atlas = default_atlas_path(cfg)
 
     mesh = None
     if args.mesh:

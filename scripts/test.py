@@ -85,6 +85,15 @@ def run_inference_cases(args, cfg, setups):
                                    hemis, aff)
                         im = im * jax.numpy.asarray(hemis)
                 outs = inf.evaluate_image(im)
+                # deformed-atlas rendering from predicted MNI coords
+                # (parity: scripts/test.py:223-224)
+                if all(k in outs for k in ("regx", "regy", "regz", "label")) \
+                        and args.atlas and os.path.isfile(args.atlas):
+                    from brainfm_tpu.infer.api import get_deformed_atlas
+                    outs["deformed_atlas"] = get_deformed_atlas(
+                        outs["label"][0, ..., 0] > 0,
+                        outs["regx"][0, ..., 0], outs["regy"][0, ..., 0],
+                        outs["regz"][0, ..., 0], args.atlas)[None, ..., None]
                 for k, v in outs.items():
                     if k == "feat" or not hasattr(v, "ndim") or v.ndim < 3:
                         continue
@@ -162,6 +171,10 @@ def main():
     ap.add_argument("--hemis_regx_suffix", default=".mni_reg.x.nii.gz")
     ap.add_argument("--gen_cfg", default=None)
     ap.add_argument("--train_cfg", default=None)
+    ap.add_argument("--atlas", default=None,
+                    help="MNI atlas for deformed-atlas rendering; defaults "
+                         "to the `atlas_path` config key, then "
+                         "$BRAINFM_ATLAS_PATH, then the reference fixture")
     args = ap.parse_args()
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -169,6 +182,9 @@ def main():
                        os.path.join(root, "cfgs/trainer/default_train.yaml"),
                        os.path.join(root, "cfgs/trainer/default_val.yaml"),
                        args.gen_cfg, args.train_cfg])
+    if args.atlas is None:
+        from brainfm_tpu.infer.api import default_atlas_path
+        args.atlas = default_atlas_path(cfg)
 
     if args.input_glob:
         setups = parse_setups(args.spacings, [False, True] if args.add_bf
