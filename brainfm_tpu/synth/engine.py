@@ -747,5 +747,23 @@ class SubjectBank:
         self._dev_cache[idx] = dev
         return dev
 
+    def stage(self, idx: int):
+        """One-shot HOST-STAGED device view of subject `idx` — NO cache.
+
+        The returned buffers free as soon as the caller drops its
+        reference and on-device synthesis has consumed them, so NOTHING
+        of the bank is HBM-resident while the train step runs. This is
+        what lets the reference's full S=4 intra-subject sample stack
+        (Generator/datasets.py:728-750; brain_id.yaml all_samples) train
+        at 128^3 on a single chip: the S=4 step compiles at ~15.6 GiB of
+        a 15.75 GiB chip, and the LRU cache's ~0.9 GiB of resident
+        subjects was the difference between running and
+        RESOURCE_EXHAUSTED (NOTES_r04.md). Costs one ~200 MB H2D ship
+        per draw — overlap comes from jax's async dispatch, not a
+        prefetch buffer (a prefetch would be HBM-resident during the
+        step peak, recreating the problem). Select with
+        cfg subject_staging: host / train.py --staging host."""
+        return {k: jnp.asarray(v) for k, v in self.subjects[idx].items()}
+
     def __len__(self):
         return len(self.subjects)

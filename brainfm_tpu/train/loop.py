@@ -105,18 +105,29 @@ def make_eval_step(model, cfg, weight_dict, loss_fn, critic=None,
 
 
 def make_val_set(bank, scfg, tasks, input_modes, knobs, seed: int,
-                 n_items: int = 2, batch_items: int = 1):
+                 n_items: int = 2, batch_items: int = 1,
+                 stage_host: bool = False):
     """A fixed-seed set of synthetic validation batches — reproducible
     across epochs and resumes (the val analog of the reference's held-out
-    split; synthesized since training data itself is synthetic)."""
+    split; synthesized since training data itself is synthetic).
+
+    stage_host: subjects ship uncached (SubjectBank.stage) and the built
+    batches are pulled back to HOST memory — at the S=4x128^3 single-chip
+    envelope neither the bank nor ~0.6 GiB/val-batch may stay
+    HBM-resident across training steps; the caller re-ships each batch at
+    validation time (see train())."""
     key = jax.random.PRNGKey(100_000 + seed)
     rng = np.random.default_rng(seed + 7)
     batches = []
     for _ in range(n_items):
         key, *iks = jax.random.split(key, batch_items + 1)
-        subj = bank.to_device(int(rng.integers(len(bank))))
+        i = int(rng.integers(len(bank)))
+        subj = bank.stage(i) if stage_host else bank.to_device(i)
         mode = input_modes[int(rng.integers(len(input_modes)))]
-        batches.append(make_batch(iks, subj, scfg, tasks, mode, knobs[mode]))
+        b = make_batch(iks, subj, scfg, tasks, mode, knobs[mode])
+        if stage_host:
+            b = jax.tree.map(np.asarray, b)
+        batches.append(b)
     return batches
 
 
@@ -372,6 +383,15 @@ def train(cfg, model, weight_dict, loss_fn, bank, out_dir: str,
     if stream is None:
         sampler = WeightedSubjectSampler([len(bank)], seed=seed,
                                          process_index=jax.process_index())
+    # subject_staging 'host': ship each drawn subject uncached and drop it
+    # before the step runs, so no bank volume is HBM-resident at the step's
+    # peak — required headroom for the reference's S=4 sample stack at
+    # 128^3 on one chip (SubjectBank.stage; NOTES_r04.md envelope)
+    stage_host = str(cfg.get("subject_staging") or "cache") == "host" \
+        if hasattr(cfg, "get") else False
+    if stage_host:
+        logger.info("subject staging: host (uncached per-draw H2D; no "
+                    "bank residency during the train step)")
     input_prob = dict(cfg.get("input_prob") or {}) if hasattr(cfg, "get") \
         else {}
     if stream is None and not input_prob and tuple(input_modes) == ("synth",):
@@ -426,7 +446,8 @@ def train(cfg, model, weight_dict, loss_fn, bank, out_dir: str,
                                     [s for _, _, s in items])
             else:
                 key, *item_keys = jax.random.split(key, batch_items + 1)
-                subj = bank.to_device(subj_plan[it][1])
+                subj = (bank.stage(subj_plan[it][1]) if stage_host
+                        else bank.to_device(subj_plan[it][1]))
                 if input_prob:
                     avail = set(bank.subjects[subj_plan[it][1]].keys())
                     mode = choose_modality(rng_host, input_prob, avail)
@@ -445,6 +466,11 @@ def train(cfg, model, weight_dict, loss_fn, bank, out_dir: str,
                 else:
                     batch = make_batch(item_keys, subj, scfg, tasks, mode,
                                        knobs[mode])
+                if stage_host:
+                    # drop the only reference: jax frees the subject
+                    # buffers once the (already-enqueued) synthesis has
+                    # consumed them — before the step's peak allocation
+                    subj = None
             batch = apply_condition(batch, cfg.get("condition"))
             if critic_params is not None:
                 batch["critic_params"] = critic_params
@@ -541,12 +567,18 @@ def train(cfg, model, weight_dict, loss_fn, bank, out_dir: str,
                 else:
                     val_batches = make_val_set(bank, scfg, tasks, input_modes,
                                                knobs, seed, n_val_items,
-                                               batch_items)
+                                               batch_items,
+                                               stage_host=stage_host)
                 # same conditioning as training (mask/flip channels) so
                 # val losses are comparable and the conditioned model sees
-                # the input width it was built with
+                # the input width it was built with. Host-staged batches
+                # stay numpy here (apply_condition works elementwise on
+                # either) and re-ship per validation below.
                 val_batches = [apply_condition(b, cfg.get("condition"))
                                for b in val_batches]
+                if stage_host:
+                    val_batches = [jax.tree.map(np.asarray, b)
+                                   for b in val_batches]
                 if twostage_models is not None:
                     eval_step = make_twostage_eval_step(
                         pathol_model, task_model, cfg, weight_dict, loss_fn)
@@ -558,6 +590,9 @@ def train(cfg, model, weight_dict, loss_fn, bank, out_dir: str,
             acc: dict = {}
             for vb in val_batches:
                 vl = eval_step(state.params, vb, critic_params)
+                # host-staged val batches were shipped by eval_step's
+                # arg transfer; the float() reads below fence each batch
+                # so at most one is HBM-resident at a time
                 for k, v in vl.items():
                     acc[k] = acc.get(k, 0.0) + float(v) / len(val_batches)
             stats.update({f"val_{k}": v for k, v in acc.items()})

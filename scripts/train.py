@@ -103,6 +103,12 @@ def main():
                     help="with --mesh: shard params + optimizer state over "
                          "the data axis (ZeRO; parallel/fsdp.py) instead of "
                          "replicating")
+    ap.add_argument("--staging", default=None, choices=["cache", "host"],
+                    help="override cfg.subject_staging: 'host' ships each "
+                         "drawn subject uncached and frees it before the "
+                         "step peak — required for S=4 @128^3 on one chip "
+                         "(brain_id_128_s4.yaml); 'cache' (default) keeps "
+                         "an LRU of device-resident subjects")
     args = ap.parse_args()
     if args.fsdp and not args.mesh:
         ap.error("--fsdp requires --mesh (state shards over the mesh "
@@ -139,6 +145,8 @@ def main():
     if args.remat is not None:
         train_cfg.remat = {"off": False, "full": True,
                            "save_convs": "save_convs"}[args.remat]
+    if args.staging is not None:
+        train_cfg.subject_staging = args.staging
     if args.epochs is not None:
         train_cfg.n_epochs = args.epochs
     if args.debug:
