@@ -67,11 +67,18 @@ def apply_condition(batch, condition: str | None):
 
 
 def make_eval_step(model, cfg, weight_dict, loss_fn, critic=None,
-                   critic_image_key: str = "T1"):
+                   critic_image_key: str = "T1", sample_accum: int = 1):
     """Jitted validation step: forward + criterion, no grad. `critic`
     mirrors make_train_step's frozen implicit-pathology critic so val
     losses stay comparable to training (critic_params threaded as data:
-    step(params, batch, critic_params))."""
+    step(params, batch, critic_params)).
+
+    `sample_accum`: evaluate the S-sample stack in sequential chunks
+    (lax.scan) — EXACT like the train-side twin (step.py sample_accum:
+    the criterion means per-sample losses, so chunk means average back
+    to the S mean). The S=4 @128^3 envelope needs it at validation too:
+    the monolithic S=4 eval forward RESOURCE_EXHAUSTs next to the
+    resident train state (measured 2026-08-21)."""
     from ..models.build import apply_processors, implicit_pathol_outputs
     from ..models.criterion import weighted_total
 
@@ -83,7 +90,7 @@ def make_eval_step(model, cfg, weight_dict, loss_fn, critic=None,
                                               targets, critic_image_key)
         return loss_fn(outputs, targets, samples)
 
-    def step(params, batch, critic_params=None):
+    def batch_losses(params, batch, critic_params):
         # mirror make_train_step: conditioned batches carry 'cond' and the
         # model must see it at validation too, or (a) the conv input width
         # mismatches and (b) val loss would score unconditioned forwards
@@ -96,7 +103,36 @@ def make_eval_step(model, cfg, weight_dict, loss_fn, critic=None,
             losses = jax.vmap(
                 lambda s, t, c: per_item(params, s, t, c, critic_params))(
                 batch["samples"], batch["targets"], cond)
-        losses = {k: jnp.mean(v) for k, v in losses.items()}
+        return {k: jnp.mean(v) for k, v in losses.items()}
+
+    def step(params, batch, critic_params=None):
+        k = sample_accum
+        S = jax.tree.leaves(batch["samples"])[0].shape[1]
+        if k > 1 and S % k == 0 and S > 1:
+            samples = batch["samples"]
+            cond = batch.get("cond")
+
+            def split(a):  # (B, S, ...) -> (k, B, S/k, ...)
+                b = a.reshape(a.shape[0], k, S // k, *a.shape[2:])
+                return jnp.moveaxis(b, 1, 0)
+
+            def chunk(_, xs):
+                msamp, mc = xs
+                mb = dict(batch)
+                mb["samples"] = msamp
+                mb["cond"] = mc
+                return None, batch_losses(params, mb, critic_params)
+
+            msamples = jax.tree.map(split, samples)
+            if cond is None:
+                _, stacked = jax.lax.scan(
+                    lambda c, x: chunk(c, (x, None)), None, msamples)
+            else:
+                _, stacked = jax.lax.scan(chunk, None,
+                                          (msamples, split(cond)))
+            losses = {kk: jnp.mean(vv) for kk, vv in stacked.items()}
+        else:
+            losses = batch_losses(params, batch, critic_params)
         total = weighted_total(losses, weight_dict)
         losses["loss_total"] = total
         return losses
@@ -308,6 +344,13 @@ def train(cfg, model, weight_dict, loss_fn, bank, out_dir: str,
     critic, critic_params, critic_key = build_critic_from_cfg(cfg)
     if critic is not None:
         logger.info(f"implicit-pathology critic on (scores '{critic_key}')")
+    # subject_staging 'host' (used at the step build and the draw sites):
+    # ship each drawn subject uncached and drop it before the step runs,
+    # so no bank volume is HBM-resident at the step's peak — required
+    # headroom for the reference's S=4 sample stack at 128^3 on one chip
+    # (SubjectBank.stage; NOTES_r04.md envelope)
+    stage_host = str(cfg.get("subject_staging") or "cache") == "host" \
+        if hasattr(cfg, "get") else False
     if twostage_models is not None:
         if critic is not None:
             raise ValueError("losses.implicit_pathol is not supported with "
@@ -328,9 +371,25 @@ def train(cfg, model, weight_dict, loss_fn, bank, out_dir: str,
             train_stage0=bool(cfg.get("train_stage0", True)
                               if hasattr(cfg, "get") else True))
     else:
+        # under host staging the batch is also DONATED to the step (the
+        # one-hot seg target alone is 0.44 GiB of reusable backward
+        # scratch) — valid only when nothing reads the batch afterward:
+        # no visualizer read-back, no critic params threaded through it,
+        # and no mesh resharding
+        donate_batch = (stage_host and not vis_itr and mesh is None
+                        and critic_params is None)
+        if donate_batch:
+            logger.info("batch donation: on (host staging, no vis/critic)")
+        sample_accum = int(cfg.get("grad_accum_samples") or 1) \
+            if hasattr(cfg, "get") else 1
+        if sample_accum > 1:
+            logger.info(f"gradient accumulation over the sample stack: "
+                        f"{sample_accum} microbatches (exact; step.py)")
         step_fn = make_train_step(model, cfg, weight_dict, loss_fn, optimizer,
                                   critic=critic,
-                                  critic_image_key=critic_key or "T1")
+                                  critic_image_key=critic_key or "T1",
+                                  donate_batch=donate_batch,
+                                  sample_accum=sample_accum)
     knobs = {m: knobs_from_cfg(cfg, scfg, m) for m in set(input_modes)}
 
     # multi-chip: replicate state, shard batches, run under set_mesh
@@ -383,12 +442,6 @@ def train(cfg, model, weight_dict, loss_fn, bank, out_dir: str,
     if stream is None:
         sampler = WeightedSubjectSampler([len(bank)], seed=seed,
                                          process_index=jax.process_index())
-    # subject_staging 'host': ship each drawn subject uncached and drop it
-    # before the step runs, so no bank volume is HBM-resident at the step's
-    # peak — required headroom for the reference's S=4 sample stack at
-    # 128^3 on one chip (SubjectBank.stage; NOTES_r04.md envelope)
-    stage_host = str(cfg.get("subject_staging") or "cache") == "host" \
-        if hasattr(cfg, "get") else False
     if stage_host:
         logger.info("subject staging: host (uncached per-draw H2D; no "
                     "bank residency during the train step)")
@@ -564,6 +617,14 @@ def train(cfg, model, weight_dict, loss_fn, bank, out_dir: str,
                         stream, seed, n_val_items, batch_items)
                     logger.info("val set spans datasets: "
                                 f"{sorted(set(val_names))}")
+                    if stage_host:
+                        # same memory rule as the bank path: at the S=4
+                        # @128^3 envelope the val set must not stay
+                        # HBM-resident next to the train state; batches
+                        # re-ship one at a time via eval_step's arg
+                        # transfer (fenced by the float() reads)
+                        val_batches = [jax.tree.map(np.asarray, b)
+                                       for b in val_batches]
                 else:
                     val_batches = make_val_set(bank, scfg, tasks, input_modes,
                                                knobs, seed, n_val_items,
@@ -583,10 +644,11 @@ def train(cfg, model, weight_dict, loss_fn, bank, out_dir: str,
                     eval_step = make_twostage_eval_step(
                         pathol_model, task_model, cfg, weight_dict, loss_fn)
                 else:
-                    eval_step = make_eval_step(model, cfg, weight_dict,
-                                               loss_fn, critic=critic,
-                                               critic_image_key=critic_key
-                                               or "T1")
+                    eval_step = make_eval_step(
+                        model, cfg, weight_dict, loss_fn, critic=critic,
+                        critic_image_key=critic_key or "T1",
+                        sample_accum=int(cfg.get("grad_accum_samples") or 1)
+                        if hasattr(cfg, "get") else 1)
             acc: dict = {}
             for vb in val_batches:
                 vl = eval_step(state.params, vb, critic_params)

@@ -117,7 +117,8 @@ def _finite_update(state: TrainState, optimizer, total, losses, grads,
 
 def make_train_step(model, cfg, weight_dict, loss_fn: Callable, optimizer,
                     donate: bool = True, critic=None,
-                    critic_image_key: str = "T1"):
+                    critic_image_key: str = "T1",
+                    donate_batch: bool = False, sample_accum: int = 1):
     """Returns jitted `step(state, batch, lr, wd) -> (state, metrics)`.
 
     batch: {'samples': {...leading S axis...}, 'targets': {... leading 1...},
@@ -125,6 +126,22 @@ def make_train_step(model, cfg, weight_dict, loss_fn: Callable, optimizer,
             (threaded as data, never as closure constants)}.
     `critic`: a built pathol critic model (models.build.build_pathol_critic)
     enabling the implicit-pathology losses (PatholSeg parity).
+    `donate_batch`: additionally donate the batch arg — XLA may alias its
+    ~0.6 GiB into outputs/scratch. Only valid when the caller never
+    touches the batch after the step (no visualizer read-back, no
+    critic_params threaded through it — those would be freed too).
+    `sample_accum`: split the intra-subject sample stack S into this many
+    sequential microbatches inside ONE jitted step (lax.scan) and average
+    the gradients — EXACT: the criterion means per-sample losses over S
+    (SetMultiCriterion parity), the mean of k S/k-sample means equals the
+    S-sample mean, and nothing in the model couples samples (GroupNorm
+    stats are per-sample). The scan carry is one fp32 grad tree; peak
+    activation memory drops to one microbatch's. This is what fits the
+    reference's full S=4 stack (Generator/datasets.py:728-750) at 128^3
+    on one 15.75 GiB chip: the monolithic S=4 step plans 15.78 GiB —
+    over by 36 MB — with ~4.2 GiB of 2.0x lane padding in the full-res
+    decoder wgrad copies that no remat mode avoids (measured 2026-08-21;
+    cfg grad_accum_samples, cfgs/generator/train/brain_id_128_s4.yaml).
     """
 
     def per_item(params, samples, targets, cond, critic_params):
@@ -161,7 +178,51 @@ def make_train_step(model, cfg, weight_dict, loss_fn: Callable, optimizer,
             loss_and_metrics, has_aux=True)(state.params, batch)
         return _finite_update(state, optimizer, total, losses, grads, lr, wd)
 
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    def step_accum(state: TrainState, batch, lr, wd):
+        k = sample_accum
+        samples = batch["samples"]
+        rest = {kk: vv for kk, vv in batch.items() if kk != "samples"}
+        S = jax.tree.leaves(samples)[0].shape[1]
+        assert S % k == 0, (
+            f"sample_accum={k} must divide the intra-subject stack S={S}")
+
+        def split(a):  # (B, S, ...) -> (k, B, S/k, ...) microbatch-major
+            b = a.reshape(a.shape[0], k, S // k, *a.shape[2:])
+            return jnp.moveaxis(b, 1, 0)
+
+        msamples = jax.tree.map(split, samples)
+        mcond = None
+        if rest.get("cond") is not None:
+            mcond = split(rest["cond"])
+
+        def micro(gacc, xs):
+            msamp, mc = xs
+            mb = dict(rest)
+            mb["samples"] = msamp
+            mb["cond"] = mc
+            (t, l), g = jax.value_and_grad(
+                loss_and_metrics, has_aux=True)(state.params, mb)
+            gacc = jax.tree.map(jnp.add, gacc, g)
+            return gacc, (t, l)
+
+        gzero = jax.tree.map(jnp.zeros_like, state.params)
+        if mcond is None:
+            # scan xs must be arrays: carry a dummy None-free cond slot
+            grads, (totals, losses) = jax.lax.scan(
+                lambda c, x: micro(c, (x, None)), gzero, msamples)
+        else:
+            grads, (totals, losses) = jax.lax.scan(
+                micro, gzero, (msamples, mcond))
+        grads = jax.tree.map(lambda g: g / k, grads)
+        total = jnp.mean(totals)
+        losses = {kk: jnp.mean(vv) for kk, vv in losses.items()}
+        return _finite_update(state, optimizer, total, losses, grads, lr, wd)
+
+    argnums = (0,) if donate else ()
+    if donate_batch:
+        argnums = argnums + (1,)
+    return jax.jit(step if sample_accum == 1 else step_accum,
+                   donate_argnums=argnums)
 
 
 def make_twostage_train_step(pathol_model, task_model, cfg, weight_dict,

@@ -1,0 +1,134 @@
+"""Intra-subject gradient accumulation (train/step.py sample_accum):
+splitting the S-sample stack into sequential microbatches inside the
+jitted step must be EXACT — the criterion means per-sample losses over S
+(SetMultiCriterion parity, models/criterion.py) and nothing in the model
+couples samples, so the mean of k (S/k)-sample means equals the S-sample
+mean and gradients match by linearity. This is what fits the reference's
+full S=4 stack (Generator/datasets.py:728-750) at 128^3 on one chip —
+the monolithic S=4 step plans 36 MB over the 15.75 GiB HBM."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from brainfm_tpu.config import AttrDict
+from brainfm_tpu.models import build_model
+from brainfm_tpu.models.criterion import make_criterion
+from brainfm_tpu.train.step import TrainState, build_optimizer, \
+    make_train_step
+
+
+def _cfg(size):
+    return AttrDict.from_nested({
+        "task": {"T1": True, "segmentation": True},
+        "generator": {"left_hemis_only": False, "size": list(size)},
+        "losses": {"uncertainty": None, "image_grad": True},
+        "backbone": "unet3d", "f_maps": 8, "num_levels": 2, "num_groups": 8,
+        "layer_order": "gcl", "unit_feat": False, "task_f_maps": [8],
+        "label_list_segmentation_with_csf": [0, 14, 15, 16, 24, 77, 85],
+        "weights": {"seg_ce": 1.0, "seg_dice": 1.0, "image": 1.0,
+                    "image_grad": 1.0},
+        "optimizer": "adamw", "lr": 1e-3, "weight_decay": 1e-4,
+        "clip_max_norm": 1.0,
+    })
+
+
+def _batch(rng, size, n_lab, B=1, S=4, dtype=jnp.float64):
+    return {
+        "samples": {
+            "input": jnp.asarray(rng.random((B, S, *size, 1)), dtype),
+            "bias_field_log": jnp.asarray(rng.random((B, S, *size, 1)),
+                                          dtype),
+        },
+        "targets": {
+            "T1": jnp.asarray(rng.random((B, 1, *size, 1)), dtype),
+            "segmentation": jax.nn.one_hot(
+                jnp.asarray(rng.integers(0, n_lab, (B, 1, *size))), n_lab,
+                dtype=dtype),
+        },
+    }
+
+
+def test_sample_accum_exact_fp64():
+    """sample_accum=2 over an S=4 stack: loss, metrics, and updated params
+    must match the monolithic step at fp64 (rel-L2 < 1e-9)."""
+    jax.config.update("jax_enable_x64", True)
+    try:
+        size = (12, 12, 12)
+        cfg = _cfg(size)
+        cfg, model = build_model(cfg, compute_dtype=jnp.float64)
+        _, wd, loss_fn = make_criterion(cfg)
+        opt = build_optimizer(cfg)
+        rng = np.random.default_rng(0)
+        batch = _batch(rng, size, cfg.n_labels)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                     batch["samples"]["input"][0])
+        params = jax.tree.map(lambda a: a.astype(jnp.float64), params)
+        state = TrainState(params, opt.init(params),
+                           jnp.zeros((), jnp.int32))
+
+        mono = make_train_step(model, cfg, wd, loss_fn, opt, donate=False)
+        accum = make_train_step(model, cfg, wd, loss_fn, opt, donate=False,
+                                sample_accum=2)
+        s1, m1 = mono(state, batch, 1e-3, 1e-4)
+        s2, m2 = accum(state, batch, 1e-3, 1e-4)
+        assert np.isfinite(float(m1["loss_total"]))
+        np.testing.assert_allclose(float(m2["loss_total"]),
+                                   float(m1["loss_total"]), rtol=1e-12)
+        for k in m1:
+            np.testing.assert_allclose(float(m2[k]), float(m1[k]),
+                                       rtol=1e-9, atol=1e-12, err_msg=k)
+        for a, b in zip(jax.tree.leaves(s1.params),
+                        jax.tree.leaves(s2.params)):
+            a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+            err = np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-12)
+            assert err < 1e-9, f"param rel-L2 {err:.2e} (shape {a.shape})"
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
+def test_eval_sample_accum_exact_fp64():
+    """The validation twin (loop.make_eval_step sample_accum): chunked
+    eval losses must match the monolithic eval at fp64."""
+    from brainfm_tpu.train.loop import make_eval_step
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        size = (12, 12, 12)
+        cfg = _cfg(size)
+        cfg, model = build_model(cfg, compute_dtype=jnp.float64)
+        _, wd, loss_fn = make_criterion(cfg)
+        rng = np.random.default_rng(2)
+        batch = _batch(rng, size, cfg.n_labels)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                     batch["samples"]["input"][0])
+        params = jax.tree.map(lambda a: a.astype(jnp.float64), params)
+        mono = make_eval_step(model, cfg, wd, loss_fn)
+        chunked = make_eval_step(model, cfg, wd, loss_fn, sample_accum=2)
+        l1 = mono(params, batch)
+        l2 = chunked(params, batch)
+        assert set(l1) == set(l2)
+        for k in l1:
+            np.testing.assert_allclose(float(l2[k]), float(l1[k]),
+                                       rtol=1e-9, atol=1e-12, err_msg=k)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
+def test_sample_accum_must_divide_S():
+    size = (12, 12, 12)
+    cfg = _cfg(size)
+    cfg, model = build_model(cfg)
+    _, wd, loss_fn = make_criterion(cfg)
+    opt = build_optimizer(cfg)
+    rng = np.random.default_rng(1)
+    batch = _batch(rng, size, cfg.n_labels, S=3, dtype=jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 batch["samples"]["input"][0])
+    state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    step = make_train_step(model, cfg, wd, loss_fn, opt, donate=False,
+                           sample_accum=2)
+    with pytest.raises(AssertionError, match="must divide"):
+        step(state, batch, 1e-3, 0.0)
