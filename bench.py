@@ -304,11 +304,14 @@ def _run():
     # records its own compile/warmup seconds in the summary.
     import gc
 
-    def stage_ok(name):
+    def stage_ok(name, min_left=0.0):
+        """min_left: don't even start a stage whose compile alone will
+        blow the remaining budget (r5: tiled started with 15 s left and
+        its ~2 min window-graph compile ate the run's tail)."""
         left = budget - (time.time() - T_START)
-        if left <= 0:
-            print(f"# {name} bench skipped (budget exhausted)",
-                  file=sys.stderr)
+        if left <= min_left:
+            print(f"# {name} bench skipped (budget: {left:.0f}s left < "
+                  f"{min_left:.0f}s stage minimum)", file=sys.stderr)
             return False
         print(f"# starting {name} bench ({left:.0f}s budget left)",
               file=sys.stderr)
@@ -482,7 +485,7 @@ def _run():
               "compilation cache — its compile would starve nothing now, "
               "but keeps the run inside budget for a warm re-run)",
               file=sys.stderr)
-    elif stage_ok("tiled fp32-parity"):
+    elif stage_ok("tiled fp32-parity", min_left=0 if SMOKE else 150):
         with stage_guard("tiled fp32-parity"):
             if inf is None:
                 log_ts("rebuilding Inferencer for the tiled stage...")
