@@ -56,7 +56,7 @@ def test_sample_accum_exact_fp64():
     must match the monolithic step at fp64 (rel-L2 < 1e-9)."""
     jax.config.update("jax_enable_x64", True)
     try:
-        size = (12, 12, 12)
+        size = (8, 8, 8)
         cfg = _cfg(size)
         cfg, model = build_model(cfg, compute_dtype=jnp.float64)
         _, wd, loss_fn = make_criterion(cfg)
@@ -96,7 +96,7 @@ def test_eval_sample_accum_exact_fp64():
 
     jax.config.update("jax_enable_x64", True)
     try:
-        size = (12, 12, 12)
+        size = (8, 8, 8)
         cfg = _cfg(size)
         cfg, model = build_model(cfg, compute_dtype=jnp.float64)
         _, wd, loss_fn = make_criterion(cfg)
@@ -117,8 +117,56 @@ def test_eval_sample_accum_exact_fp64():
         jax.config.update("jax_enable_x64", False)
 
 
+@pytest.mark.slow
+def test_sample_accum_composes_with_mesh_fp64():
+    """sample_accum under a data x space mesh (the --mesh path with an
+    S=4-style config): the scanned microbatch gradients must psum
+    correctly — fp64-exact vs the unsharded accumulated step (same
+    protocol as tests/test_fsdp.py)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from brainfm_tpu.parallel.mesh import make_mesh
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        size = (16, 16, 16)
+        cfg = _cfg(size)
+        cfg, model = build_model(cfg, compute_dtype=jnp.float64)
+        _, wd, loss_fn = make_criterion(cfg)
+        opt = build_optimizer(cfg)
+        rng = np.random.default_rng(3)
+        batch = _batch(rng, size, cfg.n_labels, B=4)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                     batch["samples"]["input"][0])
+        params = jax.tree.map(lambda a: a.astype(jnp.float64), params)
+        state = TrainState(params, opt.init(params),
+                           jnp.zeros((), jnp.int32))
+        step = make_train_step(model, cfg, wd, loss_fn, opt, donate=False,
+                               sample_accum=2)
+
+        ref_state, ref_m = step(state, batch, 1e-3, 0.0)
+        assert np.isfinite(float(ref_m["loss_total"]))
+
+        mesh = make_mesh(data=4, space=2)
+        data_sh = NamedSharding(mesh, P("data"))
+        repl = NamedSharding(mesh, P())
+        sp_batch = jax.tree.map(lambda a: jax.device_put(a, data_sh), batch)
+        sp_state = jax.tree.map(lambda a: jax.device_put(a, repl), state)
+        with jax.sharding.set_mesh(mesh):
+            sp_state2, sp_m = step(sp_state, sp_batch, 1e-3, 0.0)
+        np.testing.assert_allclose(float(sp_m["loss_total"]),
+                                   float(ref_m["loss_total"]), rtol=1e-12)
+        for a, b in zip(jax.tree.leaves(ref_state.params),
+                        jax.tree.leaves(sp_state2.params)):
+            a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+            err = np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-12)
+            assert err < 1e-9, f"param rel-L2 {err:.2e} (shape {a.shape})"
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
 def test_sample_accum_must_divide_S():
-    size = (12, 12, 12)
+    size = (8, 8, 8)
     cfg = _cfg(size)
     cfg, model = build_model(cfg)
     _, wd, loss_fn = make_criterion(cfg)
