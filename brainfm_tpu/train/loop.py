@@ -369,7 +369,9 @@ def train(cfg, model, weight_dict, loss_fn, bank, out_dir: str,
         step_fn = make_twostage_train_step(
             pathol_model, task_model, cfg, weight_dict, loss_fn, optimizer,
             train_stage0=bool(cfg.get("train_stage0", True)
-                              if hasattr(cfg, "get") else True))
+                              if hasattr(cfg, "get") else True),
+            sample_accum=int(cfg.get("grad_accum_samples") or 1)
+            if hasattr(cfg, "get") else 1)
     else:
         # under host staging the batch is also DONATED to the step (the
         # one-hot seg target alone is 0.44 GiB of reusable backward

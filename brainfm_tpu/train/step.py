@@ -227,12 +227,14 @@ def make_train_step(model, cfg, weight_dict, loss_fn: Callable, optimizer,
 
 def make_twostage_train_step(pathol_model, task_model, cfg, weight_dict,
                              loss_fn, optimizer, train_stage0: bool = True,
-                             donate: bool = True):
+                             donate: bool = True, sample_accum: int = 1):
     """Two-stage inpainting step (parity: train_one_epoch_twostage,
     Trainer/engine.py:193-318): stage-0 predicts the pathology mask from the
     input; stage-1 sees input*(1-mask) conditioned on the mask. Both stages
     train jointly under one optimizer (params = {'pathol':..., 'task':...});
-    set train_stage0=False to freeze the pathology predictor."""
+    set train_stage0=False to freeze the pathology predictor.
+    `sample_accum`: same exact sample-axis microbatching as
+    make_train_step (cfg grad_accum_samples applies uniformly)."""
 
     def per_item(params, samples, targets):
         x = samples["input"]
@@ -259,4 +261,32 @@ def make_twostage_train_step(pathol_model, task_model, cfg, weight_dict,
             loss_and_metrics, has_aux=True)(state.params, batch)
         return _finite_update(state, optimizer, total, losses, grads, lr, wd)
 
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    def step_accum(state: TrainState, batch, lr, wd):
+        k = sample_accum
+        samples = batch["samples"]
+        rest = {kk: vv for kk, vv in batch.items() if kk != "samples"}
+        S = jax.tree.leaves(samples)[0].shape[1]
+        assert S % k == 0, (
+            f"sample_accum={k} must divide the intra-subject stack S={S}")
+
+        def split(a):
+            b = a.reshape(a.shape[0], k, S // k, *a.shape[2:])
+            return jnp.moveaxis(b, 1, 0)
+
+        def micro(gacc, msamp):
+            mb = dict(rest)
+            mb["samples"] = msamp
+            (t, l), g = jax.value_and_grad(
+                loss_and_metrics, has_aux=True)(state.params, mb)
+            return jax.tree.map(jnp.add, gacc, g), (t, l)
+
+        gzero = jax.tree.map(jnp.zeros_like, state.params)
+        grads, (totals, losses) = jax.lax.scan(
+            micro, gzero, jax.tree.map(split, samples))
+        grads = jax.tree.map(lambda g: g / k, grads)
+        total = jnp.mean(totals)
+        losses = {kk: jnp.mean(vv) for kk, vv in losses.items()}
+        return _finite_update(state, optimizer, total, losses, grads, lr, wd)
+
+    return jax.jit(step if sample_accum == 1 else step_accum,
+                   donate_argnums=(0,) if donate else ())

@@ -165,6 +165,68 @@ def test_sample_accum_composes_with_mesh_fp64():
         jax.config.update("jax_enable_x64", False)
 
 
+@pytest.mark.slow
+def test_twostage_sample_accum_exact_fp64():
+    """grad_accum_samples applies uniformly: the two-stage step's
+    accumulated variant must match its monolithic twin at fp64."""
+    from brainfm_tpu.models.build import build_inpaint_model
+    from brainfm_tpu.train.step import make_twostage_train_step
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        size = (8, 8, 8)
+        cfg = AttrDict.from_nested({
+            "task": {"T1": True, "segmentation": True, "pathology": True},
+            "generator": {"left_hemis_only": False, "size": list(size)},
+            "losses": {"uncertainty": None, "image_grad": False},
+            "backbone": "unet3d+unet3d", "f_maps": 8, "num_levels": 2,
+            "num_groups": 8, "layer_order": "gcl", "unit_feat": False,
+            "task_f_maps": [8],
+            "label_list_segmentation_with_csf": [0, 14, 15, 16, 24, 77, 85],
+            "weights": {k: 1.0 for k in ("seg_ce", "seg_dice", "pathol_ce",
+                                         "pathol_dice", "image")},
+            "optimizer": "adamw", "lr": 1e-3, "weight_decay": 0.0,
+            "clip_max_norm": 0.0,
+        })
+        cfg, pm, tm = build_inpaint_model(cfg, compute_dtype=jnp.float64)
+        _, wd, loss_fn = make_criterion(cfg)
+        opt = build_optimizer(cfg)
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.random((1, 4, *size, 1)), jnp.float64)
+        batch = {
+            "samples": {"input": x},
+            "targets": {
+                "T1": jnp.asarray(rng.random((1, 1, *size, 1)), jnp.float64),
+                "segmentation": jax.nn.one_hot(
+                    jnp.asarray(rng.integers(0, cfg.n_labels, (1, 1, *size))),
+                    cfg.n_labels, dtype=jnp.float64),
+                "pathology": jnp.asarray(
+                    (rng.random((1, 1, *size, 1)) > 0.9).astype(np.float64)),
+            },
+        }
+        params = {"pathol": pm.init(jax.random.PRNGKey(0), x[0]),
+                  "task": tm.init(jax.random.PRNGKey(1),
+                                  jnp.concatenate([x[0], x[0]], -1))}
+        params = jax.tree.map(lambda a: a.astype(jnp.float64), params)
+        state = TrainState(params, opt.init(params),
+                           jnp.zeros((), jnp.int32))
+        mono = make_twostage_train_step(pm, tm, cfg, wd, loss_fn, opt,
+                                        donate=False)
+        accum = make_twostage_train_step(pm, tm, cfg, wd, loss_fn, opt,
+                                         donate=False, sample_accum=2)
+        s1, m1 = mono(state, batch, 1e-3, 0.0)
+        s2, m2 = accum(state, batch, 1e-3, 0.0)
+        np.testing.assert_allclose(float(m2["loss_total"]),
+                                   float(m1["loss_total"]), rtol=1e-12)
+        for a, b in zip(jax.tree.leaves(s1.params),
+                        jax.tree.leaves(s2.params)):
+            a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+            err = np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-12)
+            assert err < 1e-9, f"param rel-L2 {err:.2e} (shape {a.shape})"
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
 def test_sample_accum_must_divide_S():
     size = (8, 8, 8)
     cfg = _cfg(size)
