@@ -166,6 +166,51 @@ def test_sample_accum_composes_with_mesh_fp64():
 
 
 @pytest.mark.slow
+def test_sample_accum_composes_with_fsdp_fp64():
+    """sample_accum + FSDP/ZeRO (--fsdp with an S=4-style config): the
+    scan's gradient carry lives on sharded params; the accumulated FSDP
+    step must match the replicated accumulated step exactly."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from brainfm_tpu.parallel.fsdp import shard_state
+    from brainfm_tpu.parallel.mesh import make_mesh
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        size = (8, 8, 8)
+        cfg = _cfg(size)
+        cfg, model = build_model(cfg, compute_dtype=jnp.float64)
+        _, wd, loss_fn = make_criterion(cfg)
+        opt = build_optimizer(cfg)
+        rng = np.random.default_rng(5)
+        batch = _batch(rng, size, cfg.n_labels, B=4)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                     batch["samples"]["input"][0])
+        params = jax.tree.map(lambda a: a.astype(jnp.float64), params)
+        state = TrainState(params, opt.init(params),
+                           jnp.zeros((), jnp.int32))
+        step = make_train_step(model, cfg, wd, loss_fn, opt, donate=False,
+                               sample_accum=2)
+        ref_state, ref_m = step(state, batch, 1e-3, 0.0)
+
+        mesh = make_mesh(data=4, space=2)
+        data_sh = NamedSharding(mesh, P("data"))
+        sp_batch = jax.tree.map(lambda a: jax.device_put(a, data_sh), batch)
+        fsdp_state = shard_state(state, mesh)
+        with jax.sharding.set_mesh(mesh):
+            fsdp2, fsdp_m = step(fsdp_state, sp_batch, 1e-3, 0.0)
+        np.testing.assert_allclose(float(fsdp_m["loss_total"]),
+                                   float(ref_m["loss_total"]), rtol=1e-12)
+        for a, b in zip(jax.tree.leaves(ref_state.params),
+                        jax.tree.leaves(fsdp2.params)):
+            a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+            err = np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-12)
+            assert err < 1e-9, f"param rel-L2 {err:.2e} (shape {a.shape})"
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
+@pytest.mark.slow
 def test_twostage_sample_accum_exact_fp64():
     """grad_accum_samples applies uniformly: the two-stage step's
     accumulated variant must match its monolithic twin at fp64."""
