@@ -109,6 +109,12 @@ def main():
                          "step peak — required for S=4 @128^3 on one chip "
                          "(brain_id_128_s4.yaml); 'cache' (default) keeps "
                          "an LRU of device-resident subjects")
+    ap.add_argument("--grad_accum", type=int, default=None, metavar="K",
+                    help="override cfg.grad_accum_samples: run the "
+                         "intra-subject sample stack as K sequential "
+                         "microbatches inside one jitted step (EXACT — "
+                         "per-sample loss means; train/step.py). K must "
+                         "divide all_samples")
     args = ap.parse_args()
     if args.fsdp and not args.mesh:
         ap.error("--fsdp requires --mesh (state shards over the mesh "
@@ -147,6 +153,8 @@ def main():
                            "save_convs": "save_convs"}[args.remat]
     if args.staging is not None:
         train_cfg.subject_staging = args.staging
+    if args.grad_accum is not None:
+        train_cfg.grad_accum_samples = args.grad_accum
     if args.epochs is not None:
         train_cfg.n_epochs = args.epochs
     if args.debug:
