@@ -112,51 +112,80 @@ def _fixed_grid_integrate(func, y0, t, method):
     return jnp.concatenate([y0[None], ys], axis=0)
 
 
+def _is_fsal(tab):
+    """First-Same-As-Last: the final stage's A row equals b (so its k is
+    the next step's first stage). True for dopri5 and tsit5."""
+    C, A, B, BERR = tab
+    last = A[-1]
+    return (len(last) == len(B) - 1
+            and np.allclose(np.asarray(last, np.float64), B[:-1]))
+
+
 def _adaptive_interval(func, tab, y0, t0, t1, rtol, atol, dt0,
-                       max_steps=256, active=None):
+                       max_steps=256, active=None, h_in=None, k1_in=None,
+                       return_carry=False):
     """Advance y from t0 to t1 adaptively (bounded while_loop) with the
     embedded RK pair `tab` = (C, A, B, BERR).
 
     `active` (optional traced bool) short-circuits the loop entirely —
     the masked-final integrator uses it so intervals beyond the traced
-    nt cost one predicate check instead of a full adaptive solve."""
+    nt cost one predicate check instead of a full adaptive solve.
+
+    FSAL + warm start: for FSAL tableaus (dopri5/tsit5) the last stage's
+    derivative IS the next step's first stage, so accepted steps cost
+    n_stage-1 evaluations; `k1_in`/`h_in` carry that stage and the
+    controller's step size across output intervals (torchdiffeq likewise
+    integrates continuously through output times rather than restarting
+    the controller per interval, ShapeID/DiffEqs/solvers.py). With
+    `return_carry` the final (y, h, k1) is returned for the caller's scan
+    carry; rejected steps leave (t, y) unchanged so the carried k1 stays
+    exact."""
     C, A, B, BERR = tab
     n_stage = len(C)
+    fsal = _is_fsal(tab)
 
     def err_norm(err, y_old, y_new):
         scale = atol + rtol * jnp.maximum(jnp.abs(y_old), jnp.abs(y_new))
         return jnp.sqrt(jnp.mean((err / scale) ** 2))
 
     def cond(state):
-        t, y, h, nsteps = state
+        t, y, h, k1, nsteps = state
         ok = (t < t1 - 1e-12) & (nsteps < max_steps)
         if active is not None:
             ok = ok & active
         return ok
 
     def body(state):
-        t, y, h, nsteps = state
+        t, y, h, k1, nsteps = state
         h = jnp.minimum(h, t1 - t)
-        ks = []
-        for i in range(n_stage):
+        ks = [k1]
+        yi = y
+        for i in range(1, n_stage):
             yi = y
             for j, a in enumerate(A[i]):
                 yi = yi + h * a * ks[j]
             ks.append(func(t + h * C[i], yi))
-        ks = jnp.stack(ks)
-        y_new = y + h * jnp.tensordot(B, ks, axes=1)
-        err = h * jnp.tensordot(BERR, ks, axes=1)
+        if fsal:
+            y_new = yi   # last stage's input: A[-1] == B[:-1]
+        else:
+            y_new = y + h * jnp.tensordot(B, jnp.stack(ks), axes=1)
+        err = h * jnp.tensordot(BERR, jnp.stack(ks), axes=1)
         ratio = err_norm(err, y, y_new)
         accept = ratio <= 1.0
         # PI controller
         factor = jnp.clip(0.9 * (jnp.maximum(ratio, 1e-10) ** -0.2), 0.2, 10.0)
         h_next = h * factor
+        k1_acc = ks[-1] if fsal else func(t + h, y_new)
         t = jnp.where(accept, t + h, t)
         y = jnp.where(accept, y_new, y)
-        return (t, y, h_next, nsteps + 1)
+        k1 = jnp.where(accept, k1_acc, k1)
+        return (t, y, h_next, k1, nsteps + 1)
 
-    h0 = jnp.minimum(dt0, t1 - t0)
-    _, y, _, _ = jax.lax.while_loop(cond, body, (t0, y0, h0, 0))
+    h0 = h_in if h_in is not None else jnp.minimum(dt0, t1 - t0)
+    k1_0 = k1_in if k1_in is not None else func(t0, y0)
+    _, y, h, k1, _ = jax.lax.while_loop(cond, body, (t0, y0, h0, k1_0, 0))
+    if return_carry:
+        return y, h, k1
     return y
 
 
@@ -232,13 +261,17 @@ def odeint(func, y0, t, dt=None, rtol=1e-7, atol=1e-9, method=None):
     if method in _TABLEAUS:
         dt0 = jnp.asarray(dt if dt is not None else (t[1] - t[0]), y0.dtype)
         tab = _TABLEAUS[method]
+        k1_0 = func(t[0], y0)
 
-        def body(y, t_pair):
+        def body(carry, t_pair):
+            y, h, k1 = carry
             t0, t1 = t_pair
-            y1 = _adaptive_interval(func, tab, y, t0, t1, rtol, atol, dt0)
-            return y1, y1
+            y1, h1, k11 = _adaptive_interval(func, tab, y, t0, t1, rtol,
+                                             atol, dt0, h_in=h, k1_in=k1,
+                                             return_carry=True)
+            return (y1, h1, k11), y1
 
-        _, ys = jax.lax.scan(body, y0, (t[:-1], t[1:]))
+        _, ys = jax.lax.scan(body, (y0, dt0, k1_0), (t[:-1], t[1:]))
         return jnp.concatenate([y0[None], ys], axis=0)
     raise ValueError(f"unsupported method {method}")
 
@@ -314,17 +347,23 @@ def odeint_masked_final(func, y0, t, nt, dt=None, method="rk4",
     if method in _TABLEAUS:
         tab = _TABLEAUS[method]
         dt0 = jnp.asarray(dt if dt is not None else (t[1] - t[0]), y0.dtype)
+        k1_0 = func(t[0], y0)
 
         def abody(carry, x):
-            y, i = carry
+            y, h, k1, i = carry
             t0, t1 = x
             act = i < nt - 1
-            y1 = _adaptive_interval(func, tab, y, t0, t1, rtol, atol, dt0,
-                                    active=act)
+            # inactive intervals short-circuit the while_loop, returning
+            # the carry unchanged — (y, h, k1) stay exact for free
+            y1, h1, k11 = _adaptive_interval(func, tab, y, t0, t1, rtol,
+                                             atol, dt0, active=act,
+                                             h_in=h, k1_in=k1,
+                                             return_carry=True)
             y = jnp.where(act, y1, y)
-            return (y, i + 1), None
+            return (y, h1, k11, i + 1), None
 
-        (y, _), _ = jax.lax.scan(abody, (y0, 0), (t[:-1], t[1:]))
+        (y, _, _, _), _ = jax.lax.scan(abody, (y0, dt0, k1_0, 0),
+                                       (t[:-1], t[1:]))
         return y
     if method not in _FIXED_STEPS:
         raise ValueError(f"unsupported method {method}")

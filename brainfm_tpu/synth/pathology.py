@@ -66,12 +66,20 @@ def encode_pathology(key, img, P, Pprob, pathol_direction):
     k1, k2, k3 = jax.random.split(key, 3)
     psum = jnp.maximum(jnp.sum(P), 1e-6)
     i_mu = jnp.sum(img * P) / psum
-    p_mask = jnp.clip(jnp.round(P).astype(jnp.int32), 0, 9999)
     pth_mus = 3 * i_mu / 4 + i_mu / 4 * jax.random.uniform(k1, (10000,))
     pth_mus = jnp.where(pathol_direction > 0, pth_mus, -pth_mus)
     pth_sigmas = i_mu / 4 * jax.random.uniform(k2, (10000,))
-    noise = jax.random.normal(k3, p_mask.shape)
-    out = img + Pprob * (pth_mus[p_mask] + pth_sigmas[p_mask] * noise)
+    noise = jax.random.normal(k3, P.shape)
+    # P is binarized upstream (engine._pathology: binarize -> {0,1}), so
+    # the reference's 10000-row table lookup (datasets.py:505-513) only
+    # ever reads rows 0 and 1 — a 2-way select replaces the serialized
+    # XLA gather (85 -> ~10 ms/volume at 160^3 on v5e). The (10000,)
+    # draws are kept so the RNG stream (and injected-draw goldens) are
+    # unchanged.
+    sel = P > 0.5
+    mu = jnp.where(sel, pth_mus[1], pth_mus[0])
+    sig = jnp.where(sel, pth_sigmas[1], pth_sigmas[0])
+    out = img + Pprob * (mu + sig * noise)
     return jnp.maximum(out, 0.0)
 
 
