@@ -192,9 +192,16 @@ def main():
     # stage (least informative secondary) is skipped by policy when cold.
     global COLD_CACHE
     try:
+        # "warm" requires at least one multi-MB entry: the stage graphs
+        # cache at 14-35 MB, while ad-hoc scripts leave only small
+        # entries — a subdir freshly created by one of those must still
+        # count as cold for the big stages (it did not this round:
+        # cold=False with the primary graph absent cost a 238 s compile
+        # inside the budget)
+        entries = [f for f in os.listdir(cache_dir) if f != "KEY.txt"]
         COLD_CACHE = (not cache_dir
-                      or not [f for f in os.listdir(cache_dir)
-                              if f != "KEY.txt"])
+                      or not any(os.path.getsize(os.path.join(cache_dir, f))
+                                 > 5e6 for f in entries))
     except OSError:
         COLD_CACHE = True
     STAGES["cache_cold"] = COLD_CACHE
