@@ -311,14 +311,16 @@ def odeint_adjoint(func, y0, t, dt=None, rtol=1e-7, atol=1e-9, method=None):
     if method in _TABLEAUS:
         dt0 = jnp.asarray(dt if dt is not None else (t[1] - t[0]), y0.dtype)
         tab = _TABLEAUS[method]
-        ck = jax.checkpoint(lambda y, t0, t1: _adaptive_interval(
-            func, tab, y, t0, t1, rtol, atol, dt0))
+        k1_0 = func(t[0], y0)
+        ck = jax.checkpoint(lambda y, h, k1, t0, t1: _adaptive_interval(
+            func, tab, y, t0, t1, rtol, atol, dt0, h_in=h, k1_in=k1,
+            return_carry=True))
 
-        def body(y, t_pair):
-            y1 = ck(y, *t_pair)
-            return y1, y1
+        def body(carry, t_pair):
+            y1, h1, k11 = ck(*carry, *t_pair)
+            return (y1, h1, k11), y1
 
-        _, ys = jax.lax.scan(body, y0, (t[:-1], t[1:]))
+        _, ys = jax.lax.scan(body, (y0, dt0, k1_0), (t[:-1], t[1:]))
         return jnp.concatenate([y0[None], ys], axis=0)
     raise ValueError(f"unsupported method {method}")
 

@@ -162,3 +162,21 @@ def test_odeint_adjoint_grad_matches_direct():
     v2, g2 = jax.value_and_grad(loss_adj)(y0)
     assert jnp.allclose(v1, v2, rtol=1e-6)
     assert jnp.allclose(g1, g2, rtol=1e-6)
+
+
+def test_odeint_adjoint_adaptive_matches_odeint():
+    """The checkpointed adaptive path must take the same accepted-step
+    sequence as odeint (shared (h, k1) carry across intervals), so the
+    two integrators agree in value for dopri5/tsit5 too."""
+    from brainfm_tpu.ops.ode import odeint, odeint_adjoint
+
+    def f(t, y):
+        return -y + jnp.sin(3.0 * t) * y ** 2
+
+    y0 = jnp.asarray([1.0, 0.5, 0.25])
+    ts = jnp.arange(5, dtype=jnp.float32) * 0.3
+    for method in ("dopri5", "tsit5"):
+        a = odeint(f, y0, ts, dt=0.3, method=method)
+        b = odeint_adjoint(f, y0, ts, dt=0.3, method=method)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
