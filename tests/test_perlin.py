@@ -65,3 +65,36 @@ def test_perlin_jit_under_vmap():
     out = f(keys)
     assert out.shape == (4, 8, 8, 8)
     assert not np.allclose(np.asarray(out[0]), np.asarray(out[1]))
+
+
+def test_percentile_nosort_vs_jnp():
+    """shape_3d's sort-free threshold must agree with jnp.percentile to
+    within one ulp of the lerp (the bracketing order statistics are
+    bit-identical — verified below via exact ranks on ties — but XLA may
+    contract the final mul+add into an fma differently per context, so
+    the interpolated value itself is only 1-ulp-stable)."""
+    import jax
+    import jax.numpy as jnp
+    from brainfm_tpu.ops.perlin import percentile_nosort
+
+    rng = np.random.default_rng(3)
+    cases = [
+        rng.standard_normal(20 ** 3).astype(np.float32),        # continuous
+        rng.integers(0, 7, 5000).astype(np.float32),            # heavy ties
+        np.full(999, 2.5, np.float32),                          # all equal
+        rng.standard_normal(4097).astype(np.float32) * 1e-6,    # near zero
+    ]
+    qs = [0.0, 3.7, 25.0, 50.0, 80.1234, 95.0, 97.3, 100.0]
+    f = jax.jit(lambda x, q: percentile_nosort(x, q))
+    for x in cases:
+        xj = jnp.asarray(x)
+        for q in qs:
+            want = np.asarray(jnp.percentile(xj, jnp.float32(q)))
+            got = np.asarray(f(xj, jnp.float32(q)))
+            lo = np.nextafter(want, -np.inf)
+            hi = np.nextafter(want, np.inf)
+            assert lo <= got <= hi, f"q={q} n={x.size}: {got} vs {want}"
+            # exact order stats => exact result at integral ranks
+            if float(jnp.float32(q) / 100 * (x.size - 1)).is_integer():
+                np.testing.assert_array_equal(got, want,
+                                              err_msg=f"q={q} n={x.size}")
